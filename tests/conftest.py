@@ -1,0 +1,21 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the JAX-native way to exercise multi-chip sharding code without a
+pod (see SURVEY.md §4): XLA_FLAGS=--xla_force_host_platform_device_count=8.
+x64 is enabled so the SU(3) complex128 paths are testable; all library code
+uses explicit dtypes, so f32 paths stay f32.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config knob
+# does force the (8-virtual-device) host CPU backend.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
