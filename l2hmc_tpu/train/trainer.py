@@ -1,0 +1,338 @@
+"""Trainer: one compiled function per job type + thin host loops.
+
+TPU-native counterpart of the reference's Trainer
+(reference src/l2hmc/trainers/pytorch/trainer.py, 2006 LoC of eager
+orchestration). The entire hot path — forward trajectory, loss, gradient,
+Adam update (trainer.py:1316-1367) — is ONE jitted function; eval
+(:1085-1252) and HMC (:904-929) are one jitted function each. The Python
+era/epoch loops only schedule beta, log metrics, and handle the rare
+host-side interventions the reference also does (stuck-chain redraw
+:1594-1600, dynamic HMC step size :1216-1224, warmup :1699-1744).
+
+Parallelism: when a Mesh is supplied, x is sharded over the chain axis and
+params replicated; XLA turns the loss mean into a psum over ICI —
+replacing DDP/Horovod/DeepSpeed (trainer.py:246-378) with zero lines of
+communication code.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from l2hmc_tpu.configs import ExperimentConfig
+from l2hmc_tpu.models.dynamics import Dynamics, State
+from l2hmc_tpu.models.loss import LatticeLoss
+from l2hmc_tpu.ops import lattice_u1
+from l2hmc_tpu.parallel import mesh as pmesh
+from l2hmc_tpu.utils.history import History, summarize_dict
+from l2hmc_tpu.utils.step_timer import StepTimer
+
+import logging
+
+log = logging.getLogger(__name__)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    masks: jax.Array
+    opt_state: Any
+    step: jax.Array
+
+
+def _dtype_for(cfg: ExperimentConfig):
+    if cfg.dynamics.group == "SU3":
+        return (jnp.complex128 if cfg.precision in ("float64",)
+                else jnp.complex64)
+    return {"float64": jnp.float64, "float32": jnp.float32,
+            "bfloat16": jnp.float32, "float16": jnp.float32}[cfg.precision]
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig,
+                 mesh: Optional["jax.sharding.Mesh"] = None):
+        self.cfg = cfg
+        self.dtype = _dtype_for(cfg)
+        if cfg.dynamics.group == "SU3" and self.dtype == jnp.complex128:
+            if not jax.config.read("jax_enable_x64"):
+                raise RuntimeError(
+                    "SU(3) at float64 precision requires jax_enable_x64 "
+                    "(set it before creating arrays, or use precision=f32)")
+        self.dynamics = Dynamics(
+            cfg.dynamics, cfg.network, cfg.net_weights, cfg.conv,
+            dtype=self.dtype,
+        )
+        self.lattice = self.dynamics.lattice
+        self.loss_fn = LatticeLoss(self.lattice, cfg.loss)
+        self.mesh = mesh
+
+        lr = cfg.learning_rate
+        chain = []
+        if lr.clip_norm and lr.clip_norm > 0:
+            chain.append(optax.clip_by_global_norm(lr.clip_norm))
+        if lr.warmup and lr.warmup > 0:
+            sched = optax.linear_schedule(0.0, lr.lr_init, lr.warmup)
+            chain.append(optax.adam(sched))
+        else:
+            chain.append(optax.adam(lr.lr_init))
+        self.tx = optax.chain(*chain)
+
+        sched = cfg.annealing_schedule
+        sched.setup(cfg.steps.nera, cfg.steps.nepoch)
+        self.schedule = sched
+
+        self.evals_per_step = cfg.dynamics.nleapfrog * (
+            2 if cfg.dynamics.merge_directions else 1)
+        self.timers = {
+            j: StepTimer(self.evals_per_step) for j in
+            ("train", "eval", "hmc", "warmup")
+        }
+        self.histories = {j: History() for j in ("train", "eval", "hmc")}
+
+        self._jit_cache: dict[str, Any] = {}
+
+    # ------------------------------------------------------------------
+    # Initialization
+    # ------------------------------------------------------------------
+    def init_state(self, key: jax.Array) -> tuple[TrainState, jax.Array]:
+        k_params, k_x = jax.random.split(key)
+        params, masks = self.dynamics.init_params(k_params)
+        opt_state = self.tx.init(params)
+        x = self.dynamics.random_x(k_x)
+        ts = TrainState(params, masks, opt_state, jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            ts = pmesh.replicate(self.mesh, ts)
+            x = pmesh.shard_chains(self.mesh, x)
+        return ts, x
+
+    # ------------------------------------------------------------------
+    # Jitted steps
+    # ------------------------------------------------------------------
+    def _train_step_impl(self, ts: TrainState, x, beta, key):
+        dyn = self.dynamics
+        aux_w = self.cfg.loss.aux_weight
+        k_main, k_aux, k_y = jax.random.split(key, 3)
+
+        def loss_of(params):
+            xout, metrics = dyn.apply_transition_fb(
+                params, ts.masks, x, beta, k_main, training=True)
+            mc = metrics["mc_states"]
+            loss = self.loss_fn.calc_loss(mc.init.x, mc.proposed.x,
+                                          metrics["acc"])
+            if aux_w > 0:
+                # second pass from a fresh draw (trainer.py:1342-1353)
+                y = dyn.random_x(k_y, x.shape[0])
+                _, maux = dyn.apply_transition_fb(
+                    params, ts.masks, y, beta, k_aux, training=True)
+                mca = maux["mc_states"]
+                loss = loss + aux_w * self.loss_fn.calc_loss(
+                    mca.init.x, mca.proposed.x, maux["acc"])
+            return loss, (xout, metrics)
+
+        (loss, (xout, metrics)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(ts.params)
+        if self.cfg.dynamics.eps_fixed:
+            grads = grads._replace(
+                xeps=jnp.zeros_like(grads.xeps),
+                veps=jnp.zeros_like(grads.veps),
+            )
+        updates, opt_state = self.tx.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        new_ts = TrainState(params, ts.masks, opt_state, ts.step + 1)
+
+        mc = metrics["mc_states"]
+        out = {
+            "loss": loss,
+            "acc": metrics["acc"],
+            "acc_mask": metrics["acc_mask"],
+            "sumlogdet": metrics["sumlogdet"],
+            "beta": jnp.asarray(beta),
+            "xeps": jax.nn.sigmoid(params.xeps),
+            "veps": jax.nn.sigmoid(params.veps),
+            "grad_norm": optax.global_norm(grads),
+        }
+        out.update(self.loss_fn.lattice_metrics(mc.init.x, xout))
+        return new_ts, xout, out
+
+    def _eval_step_impl(self, ts: TrainState, x, beta, key):
+        xout, metrics = self.dynamics.apply_transition_fb(
+            ts.params, ts.masks, x, beta, key, training=False)
+        mc = metrics["mc_states"]
+        out = {
+            "acc": metrics["acc"],
+            "acc_mask": metrics["acc_mask"],
+            "sumlogdet": metrics["sumlogdet"],
+        }
+        out.update(self.loss_fn.lattice_metrics(mc.init.x, xout))
+        return xout, out
+
+    def _hmc_step_impl(self, x, beta, key, eps):
+        nlf = self.cfg.dynamics.nleapfrog * (
+            2 if self.cfg.dynamics.merge_directions else 1)
+        xout, metrics = self.dynamics.apply_transition_hmc(
+            x, beta, key, eps=eps, nleapfrog=nlf)
+        mc = metrics["mc_states"]
+        out = {
+            "acc": metrics["acc"],
+            "acc_mask": metrics["acc_mask"],
+        }
+        out.update(self.loss_fn.lattice_metrics(mc.init.x, xout))
+        return xout, out
+
+    def _get_jit(self, name: str):
+        if name in self._jit_cache:
+            return self._jit_cache[name]
+        impl = {
+            "train": self._train_step_impl,
+            "eval": self._eval_step_impl,
+            "hmc": self._hmc_step_impl,
+        }[name]
+        fn = jax.jit(impl)
+        self._jit_cache[name] = fn
+        return fn
+
+    # public jitted entry points -----------------------------------------
+    def train_step(self, ts, x, beta, key):
+        return self._get_jit("train")(ts, x, jnp.asarray(beta), key)
+
+    def eval_step(self, ts, x, beta, key):
+        return self._get_jit("eval")(ts, x, jnp.asarray(beta), key)
+
+    def hmc_step(self, x, beta, key, eps):
+        return self._get_jit("hmc")(
+            x, jnp.asarray(beta), key, jnp.asarray(eps, self.dynamics.real_dtype))
+
+    # ------------------------------------------------------------------
+    # Warmup (trainer.py:1699-1744)
+    # ------------------------------------------------------------------
+    def warmup(self, x, beta, key, nsteps: int = 100, tol: float = 1e-5):
+        """Thermalize with HMC; for U(1) stop when the mean plaquette
+        reaches the exact i1/i0 value."""
+        eps = self.cfg.dynamics.eps_hmc
+        pexact = (
+            float(lattice_u1.plaq_exact(beta))
+            if self.cfg.dynamics.group == "U1" else None
+        )
+        for step in range(nsteps):
+            key, k = jax.random.split(key)
+            x, metrics = self.hmc_step(x, beta, k, eps)
+            if pexact is not None:
+                pdiff = float(jnp.abs(jnp.mean(metrics["plaqs"]) - pexact))
+                if pdiff < tol:
+                    break
+        return x, key
+
+    # ------------------------------------------------------------------
+    # Train loop (trainer.py:1746-1838, train_epoch :1478-1637)
+    # ------------------------------------------------------------------
+    def train(self, ts: TrainState, x, key, nera=None, nepoch=None,
+              console_interval: Optional[int] = None):
+        steps = self.cfg.steps
+        nera = nera if nera is not None else steps.nera
+        nepoch = nepoch if nepoch is not None else steps.nepoch
+        history = self.histories["train"]
+        timer = self.timers["train"]
+        patience = 5
+        stuck_counter = 0
+        nlog = steps.log
+        nprint = console_interval or steps.print
+
+        for era in range(nera):
+            beta = self.schedule.beta_for_era(era, nera)
+            key, kw = jax.random.split(key)
+            if era == 0:
+                x, _ = self.warmup(x, beta, kw, nsteps=20)
+            epochs = nepoch
+            if era == nera - 1 and steps.extend_last_era:
+                epochs = nepoch * int(steps.extend_last_era)
+            t_era = time.perf_counter()
+            for epoch in range(epochs):
+                key, k = jax.random.split(key)
+                timer.start()
+                ts, x, metrics = self.train_step(ts, x, beta, k)
+                jax.block_until_ready(x)
+                timer.stop()
+                if (epoch % nlog == 0) or (epoch == epochs - 1):
+                    avgs = history.update(metrics)
+                    if epoch % nprint == 0:
+                        log.info(
+                            f"era={era} epoch={epoch} "
+                            + summarize_dict(
+                                {k_: avgs[k_] for k_ in
+                                 ("loss", "acc", "dQint", "dQsin", "plaqs")
+                                 if k_ in avgs})
+                        )
+                    # stuck-chain redraw (trainer.py:1594-1600)
+                    if avgs.get("acc", 1.0) < 1e-5:
+                        stuck_counter += 1
+                        if stuck_counter >= patience:
+                            log.warning("chains stuck; redrawing x")
+                            key, kx = jax.random.split(key)
+                            x = self.dynamics.random_x(kx)
+                            if self.mesh is not None:
+                                x = pmesh.shard_chains(self.mesh, x)
+                            stuck_counter = 0
+                    else:
+                        stuck_counter = 0
+            log.info(f"era {era} done in {time.perf_counter() - t_era:.1f}s "
+                     f"(beta={beta:.3f})")
+        return ts, x, key
+
+    # ------------------------------------------------------------------
+    # Eval / HMC loop (trainer.py:1085-1252)
+    # ------------------------------------------------------------------
+    def evaluate(self, ts: TrainState, key, job_type: str = "eval",
+                 nsteps: Optional[int] = None, beta: Optional[float] = None,
+                 x=None, eps: Optional[float] = None,
+                 nchains: Optional[int] = None,
+                 dynamic_step_size: bool = True):
+        assert job_type in ("eval", "hmc")
+        steps = nsteps if nsteps is not None else self.cfg.steps.test
+        beta = beta if beta is not None else self.schedule.beta_final
+        nchains = nchains or self.cfg.nchains or max(
+            2, self.cfg.dynamics.nchains // 4)
+        if x is None:
+            key, kx = jax.random.split(key)
+            x = self.dynamics.random_x(kx, nchains)
+        else:
+            x = x[:nchains]
+        eps = eps if eps is not None else self.cfg.dynamics.eps_hmc
+        key, kw = jax.random.split(key)
+        x, _ = self.warmup(x, beta, kw, nsteps=20)
+        history = self.histories[job_type]
+        timer = self.timers[job_type]
+        patience, stuck_counter = 5, 0
+        for step in range(steps):
+            key, k = jax.random.split(key)
+            timer.start()
+            if job_type == "eval":
+                x, metrics = self.eval_step(ts, x, beta, k)
+            else:
+                x, metrics = self.hmc_step(x, beta, k, eps)
+            jax.block_until_ready(x)
+            timer.stop()
+            avgs = history.update(metrics)
+            if avgs.get("acc", 1.0) < 1e-5:
+                stuck_counter += 1
+                if stuck_counter >= patience:
+                    key, kx = jax.random.split(key)
+                    x = self.dynamics.random_x(kx, nchains)
+                    stuck_counter = 0
+            else:
+                stuck_counter = 0
+            # dynamic HMC step size toward 66% acceptance
+            # (trainer.py:1216-1224)
+            if job_type == "hmc" and dynamic_step_size:
+                acc_avg = avgs.get("acc_mask", 1.0)
+                if acc_avg < 0.66:
+                    eps -= eps / 10.0
+                else:
+                    eps += eps / 10.0
+                eps = float(np.clip(eps, 1e-5, 1.0))
+        return x, key, {"eps": eps}

@@ -1,0 +1,107 @@
+"""Trainer smoke + behavior tests (tiny configs, CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from l2hmc_tpu.configs import get_config
+from l2hmc_tpu.train.trainer import Trainer
+
+
+def tiny_u1_config(**over):
+    cfg = get_config([
+        "dynamics.nchains=16",
+        "dynamics.latvolume=[8, 8]",
+        "dynamics.nleapfrog=2",
+        "dynamics.eps=0.1",
+        "network.units=[8, 8]",
+        "network.use_batch_norm=false",
+        "network.dropout_prob=0.0",
+        "steps.nera=1",
+        "steps.nepoch=4",
+        "steps.test=3",
+        "steps.log=1",
+        "annealing_schedule.beta_init=2.0",
+        "annealing_schedule.beta_final=2.0",
+        "precision=float64",
+    ] + [f"{k}={v}" for k, v in over.items()])
+    return cfg
+
+
+def test_train_step_updates_params_and_loss_finite():
+    trainer = Trainer(tiny_u1_config())
+    ts, x = trainer.init_state(jax.random.PRNGKey(0))
+    ts2, x2, metrics = trainer.train_step(ts, x, 2.0, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(ts2.step) == 1
+    # some parameter must have moved
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), ts.params, ts2.params)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+    acc = np.asarray(metrics["acc"])
+    assert np.all((acc >= 0) & (acc <= 1))
+
+
+def test_train_loop_and_eval():
+    trainer = Trainer(tiny_u1_config())
+    ts, x = trainer.init_state(jax.random.PRNGKey(2))
+    ts, x, key = trainer.train(ts, x, jax.random.PRNGKey(3))
+    hist = trainer.histories["train"].get_dataset()
+    assert "loss" in hist and np.isfinite(hist["loss"]).all()
+    # eval + hmc smoke
+    x_eval, key, _ = trainer.evaluate(ts, key, job_type="eval", nsteps=2)
+    x_hmc, key, info = trainer.evaluate(ts, key, job_type="hmc", nsteps=2)
+    assert "acc" in trainer.histories["eval"].history
+    assert "acc" in trainer.histories["hmc"].history
+    assert info["eps"] > 0
+
+
+def test_training_improves_loss_u1():
+    """Optimization sanity: on a FIXED batch and PRNG key (deterministic
+    objective) repeated train steps must reduce the loss."""
+    cfg = tiny_u1_config(**{
+        "dynamics.nchains": 32, "loss.use_mixed_loss": "false",
+    })
+    trainer = Trainer(cfg)
+    ts, x = trainer.init_state(jax.random.PRNGKey(4))
+    x, _ = trainer.warmup(x, 2.0, jax.random.PRNGKey(6), nsteps=20)
+    k = jax.random.PRNGKey(5)
+    losses = []
+    for i in range(25):
+        ts, _, m = trainer.train_step(ts, x, 2.0, k)  # same x, same key
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_su3_train_smoke():
+    cfg = get_config([
+        "dynamics.nchains=2",
+        "dynamics.latvolume=[2, 2, 2, 2]",
+        "dynamics.nleapfrog=2",
+        "dynamics.eps=0.01",
+        "network.units=[8]",
+        "steps.nera=1", "steps.nepoch=2", "steps.test=2",
+        "annealing_schedule.beta_init=6.0",
+        "annealing_schedule.beta_final=6.0",
+    ], group="SU3")
+    trainer = Trainer(cfg)
+    ts, x = trainer.init_state(jax.random.PRNGKey(7))
+    ts, x, m = trainer.train_step(ts, x, 6.0, jax.random.PRNGKey(8))
+    assert np.isfinite(float(m["loss"]))
+    acc = np.asarray(m["acc"])
+    assert np.all((acc >= 0) & (acc <= 1))
+    # unitarity after a step
+    from l2hmc_tpu.ops import su3 as g
+    _, bmax = g.checkSU(np.asarray(x).reshape(x.shape[0], -1, 3, 3))
+    assert float(jnp.max(bmax)) < 0.05
+
+
+def test_eps_fixed_freezes_step_sizes():
+    cfg = tiny_u1_config(**{"dynamics.eps_fixed": "true"})
+    trainer = Trainer(cfg)
+    ts, x = trainer.init_state(jax.random.PRNGKey(9))
+    ts2, _, _ = trainer.train_step(ts, x, 2.0, jax.random.PRNGKey(10))
+    np.testing.assert_allclose(np.asarray(ts2.params.xeps),
+                               np.asarray(ts.params.xeps))
+    np.testing.assert_allclose(np.asarray(ts2.params.veps),
+                               np.asarray(ts.params.veps))
