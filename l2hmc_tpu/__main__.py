@@ -1,0 +1,67 @@
+"""CLI: python -m l2hmc_tpu [group=U1|SU3] [key=value ...]
+
+Mirrors the reference's hydra-style override UX
+(reference src/l2hmc/__main__.py:262 `main()`), without requiring hydra:
+dotted-path overrides into the config dataclasses, e.g.
+
+  python -m l2hmc_tpu dynamics.nchains=1024 steps.nepoch=500 \\
+      annealing_schedule.beta_init=4.0 annealing_schedule.beta_final=6.0
+
+  python -m l2hmc_tpu group=SU3 dynamics.latvolume=[4,4,4,4]
+
+Special overrides:
+  group=U1|SU3      select the default bundle
+  mode=debug        tiny debug run (reference conf/mode/debug.yaml)
+  outdir=...        output directory
+"""
+from __future__ import annotations
+
+import logging
+import sys
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="[%(asctime)s][%(name)s][%(levelname)s] %(message)s",
+)
+
+DEBUG_OVERRIDES = [
+    "dynamics.nchains=128",
+    "dynamics.latvolume=[8, 8]",
+    "steps.nera=2",
+    "steps.nepoch=10",
+    "steps.test=10",
+    "steps.log=1",
+]
+
+
+def main(argv=None):
+    argv = list(argv if argv is not None else sys.argv[1:])
+    group = "U1"
+    overrides = []
+    for a in argv:
+        if a.startswith("group="):
+            group = a.split("=", 1)[1].upper()
+        elif a == "mode=debug":
+            overrides.extend(DEBUG_OVERRIDES)
+        elif a.startswith("--"):
+            continue
+        else:
+            overrides.append(a)
+
+    # x64 must flip before any array is created
+    want_x64 = group == "SU3" and not any(
+        o.startswith("precision=") and "32" in o for o in overrides
+    )
+    if want_x64 or any(o == "precision=float64" for o in overrides):
+        import jax
+        jax.config.update("jax_enable_x64", True)
+
+    from l2hmc_tpu.experiment import build_experiment
+    ex = build_experiment(overrides, group=group)
+    summary = ex.run()
+    print(summary)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

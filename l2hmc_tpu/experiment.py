@@ -1,0 +1,122 @@
+"""Experiment orchestration: train -> eval -> HMC baseline -> improvement.
+
+Counterpart of the reference's Experiment + __main__ pipeline
+(reference src/l2hmc/experiment/experiment.py, src/l2hmc/__main__.py:100-249):
+build everything from an ExperimentConfig, train with the beta ladder,
+evaluate the trained sampler, run the matched-cost HMC baseline, and report
+`model_improvement = mean(dQint_eval) / mean(dQint_hmc)`
+(reference utils/plot_helpers.py:189-266).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from l2hmc_tpu.configs import ExperimentConfig, get_config
+from l2hmc_tpu.parallel import mesh as pmesh
+from l2hmc_tpu.train.trainer import Trainer, TrainState
+from l2hmc_tpu.utils import checkpoint as ckpt
+from l2hmc_tpu.utils.history import grab
+
+import logging
+
+log = logging.getLogger(__name__)
+
+
+class Experiment:
+    def __init__(self, cfg: ExperimentConfig):
+        self.cfg = cfg
+        self.mesh = None
+        if cfg.ndevices is None or cfg.ndevices > 1:
+            try:
+                ndev = cfg.ndevices or len(jax.devices())
+                if ndev > 1 and cfg.dynamics.nchains % ndev == 0:
+                    self.mesh = pmesh.make_mesh(ndev)
+            except RuntimeError:
+                pass
+        self.trainer = Trainer(cfg, mesh=self.mesh)
+        self.outdir = cfg.outdir or os.path.join(
+            "outputs", time.strftime("%Y-%m-%d-%H%M%S"))
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self._ts: Optional[TrainState] = None
+        self._x = None
+
+    # ------------------------------------------------------------------
+    def setup(self):
+        if self._ts is None:
+            self.key, k = jax.random.split(self.key)
+            self._ts, self._x = self.trainer.init_state(k)
+            if self.cfg.restore:
+                restored = ckpt.restore_checkpoint(self.outdir, self._ts)
+                if restored is not None:
+                    log.info("restored checkpoint")
+                    self._ts = restored
+        return self._ts, self._x
+
+    def train(self):
+        ts, x = self.setup()
+        self.key, k = jax.random.split(self.key)
+        ts, x, _ = self.trainer.train(ts, x, k)
+        self._ts, self._x = ts, x
+        if self.cfg.save:
+            ckpt.save_checkpoint(self.outdir, int(ts.step), ts)
+            ckpt.save_eps_txt(self.outdir, ts.params)
+        self.trainer.histories["train"].save(self.outdir, "train")
+        self.trainer.timers["train"].save_and_write(self.outdir)
+        return self.trainer.histories["train"]
+
+    def evaluate(self, job_type: str = "eval", nsteps: Optional[int] = None):
+        ts, x = self.setup()
+        self.key, k = jax.random.split(self.key)
+        self.trainer.evaluate(ts, k, job_type=job_type, nsteps=nsteps, x=x)
+        self.trainer.histories[job_type].save(self.outdir, job_type)
+        return self.trainer.histories[job_type]
+
+    def measure_improvement(self) -> float:
+        """mean(dQint_eval) / mean(dQint_hmc) (plot_helpers.py:189-266);
+        written to model_improvement.txt like the reference."""
+        he = self.trainer.histories["eval"].get_dataset()
+        hh = self.trainer.histories["hmc"].get_dataset()
+        if "dQint" not in he or "dQint" not in hh:
+            return float("nan")
+        denom = float(np.mean(hh["dQint"]))
+        improvement = float(np.mean(he["dQint"])) / max(denom, 1e-16)
+        os.makedirs(self.outdir, exist_ok=True)
+        with open(os.path.join(self.outdir, "model_improvement.txt"), "w") as f:
+            f.write(f"{improvement}\n")
+        return improvement
+
+    def run(self) -> dict:
+        """Full pipeline (reference __main__.py:100-249)."""
+        t0 = time.perf_counter()
+        self.train()
+        self.evaluate("eval")
+        self.evaluate("hmc")
+        improvement = self.measure_improvement()
+        summary = {
+            "improvement": improvement,
+            "walltime": time.perf_counter() - t0,
+            "train": self.trainer.timers["train"].get_eval_rate(),
+            "eval": self.trainer.timers["eval"].get_eval_rate(),
+            "hmc": self.trainer.timers["hmc"].get_eval_rate(),
+        }
+        with open(os.path.join(self.outdir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        log.info(f"model_improvement: {improvement:.3f}")
+        return summary
+
+
+def build_experiment(overrides: Optional[Sequence[str]] = None,
+                     group: str = "U1") -> Experiment:
+    """Programmatic entry (reference __main__.py:252-259)."""
+    overrides = list(overrides or [])
+    for ov in overrides:
+        if ov.startswith("group="):
+            group = ov.split("=", 1)[1]
+    cfg = get_config(overrides, group=group)
+    return Experiment(cfg)

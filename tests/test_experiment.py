@@ -1,0 +1,105 @@
+"""End-to-end experiment + checkpoint + sharding tests (tiny, CPU)."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from l2hmc_tpu.experiment import Experiment, build_experiment
+from l2hmc_tpu.configs import get_config
+
+
+def test_full_pipeline_debug(tmp_path):
+    """train -> eval -> hmc -> improvement on a tiny config (the
+    reference's mode=debug smoke run)."""
+    ex = build_experiment([
+        "dynamics.nchains=16",
+        "dynamics.latvolume=[8, 8]",
+        "dynamics.nleapfrog=2",
+        "network.units=[8]",
+        "network.use_batch_norm=false",
+        "network.dropout_prob=0.0",
+        "steps.nera=1", "steps.nepoch=4", "steps.test=4", "steps.log=1",
+        "annealing_schedule.beta_init=2.0",
+        "annealing_schedule.beta_final=2.0",
+        f"outdir={tmp_path}/run",
+        "precision=float64",
+    ])
+    summary = ex.run()
+    assert np.isfinite(summary["train"]["eval_rate"])
+    assert os.path.exists(f"{tmp_path}/run/train_history.npz")
+    assert os.path.exists(f"{tmp_path}/run/model_improvement.txt")
+    assert os.path.exists(f"{tmp_path}/run/summary.json")
+    with open(f"{tmp_path}/run/summary.json") as f:
+        s = json.load(f)
+    assert "improvement" in s
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from l2hmc_tpu.utils import checkpoint as ckpt
+    from l2hmc_tpu.train.trainer import Trainer
+    cfg = get_config([
+        "dynamics.nchains=8", "dynamics.latvolume=[4, 4]",
+        "dynamics.nleapfrog=2", "network.units=[8]",
+        "steps.nera=1", "steps.nepoch=1", "steps.test=1",
+        f"outdir={tmp_path}/ck", "precision=float64",
+    ])
+    trainer = Trainer(cfg)
+    ts, x = trainer.init_state(jax.random.PRNGKey(0))
+    ts2, _, _ = trainer.train_step(ts, x, 2.0, jax.random.PRNGKey(1))
+    path = ckpt.save_checkpoint(f"{tmp_path}/ck", int(ts2.step), ts2)
+    assert os.path.exists(path)
+    restored = ckpt.restore_checkpoint(f"{tmp_path}/ck", ts)
+    assert restored is not None
+    for a, b in zip(jax.tree_util.tree_leaves(restored),
+                    jax.tree_util.tree_leaves(ts2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    ckpt.save_eps_txt(f"{tmp_path}/ck", ts2.params)
+    assert os.path.exists(f"{tmp_path}/ck/xeps.txt")
+
+
+def test_multichip_dryrun_8_devices():
+    """The driver's dryrun contract on the virtual 8-device CPU mesh."""
+    import __graft_entry__ as ge
+    assert len(jax.devices()) >= 8
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    jitted = jax.jit(fn)
+    xout, acc = jitted(*args)
+    assert xout.shape == args[2].shape
+    assert np.all(np.isfinite(np.asarray(acc)))
+
+
+def test_sharded_matches_single_device():
+    """Chain-sharded train step == single-device train step (same seeds):
+    data parallelism must not change the math."""
+    from l2hmc_tpu.parallel import mesh as pmesh
+    from l2hmc_tpu.train.trainer import Trainer
+    overrides = [
+        "dynamics.nchains=16", "dynamics.latvolume=[4, 4]",
+        "dynamics.nleapfrog=2", "network.units=[8]",
+        "network.use_batch_norm=false", "network.dropout_prob=0.0",
+        "steps.nera=1", "steps.nepoch=1", "steps.test=1",
+        "precision=float64",
+    ]
+    t1 = Trainer(get_config(overrides))
+    ts1, x1 = t1.init_state(jax.random.PRNGKey(0))
+    ts1b, x1b, m1 = t1.train_step(ts1, x1, 2.0, jax.random.PRNGKey(1))
+
+    mesh = pmesh.make_mesh(4)
+    t2 = Trainer(get_config(overrides), mesh=mesh)
+    ts2, x2 = t2.init_state(jax.random.PRNGKey(0))
+    ts2b, x2b, m2 = t2.train_step(ts2, x2, 2.0, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(x1b), np.asarray(x2b), atol=1e-10)
+    for a, b in zip(jax.tree_util.tree_leaves(ts1b.params),
+                    jax.tree_util.tree_leaves(ts2b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
