@@ -91,6 +91,27 @@ class Experiment:
             f.write(f"{improvement}\n")
         return improvement
 
+    def sampler_stats(self, job_type: str) -> dict:
+        """acceptance, tunneling rate, tau_int and ESS of the topological
+        charge series (the BASELINE.json parity metrics)."""
+        from l2hmc_tpu.utils import autocorr as ac
+        h = self.trainer.histories[job_type].get_dataset()
+        out = {}
+        if "acc" in h:
+            out["acc"] = float(np.mean(h["acc"]))
+        if "intQ" in h:
+            q = np.atleast_2d(h["intQ"])
+            out["dQint_rate"] = ac.tunneling_rate(q)
+            if q.shape[-1] >= 8:
+                out.update({f"intQ_{k}": v for k, v in
+                            ac.chain_stats(q).items()
+                            if k in ("tau_int", "ess_per_step")})
+        if "dQint" in h:
+            out["dQint"] = float(np.mean(h["dQint"]))
+        if "dQsin" in h:
+            out["dQsin"] = float(np.mean(h["dQsin"]))
+        return out
+
     def run(self) -> dict:
         """Full pipeline (reference __main__.py:100-249)."""
         t0 = time.perf_counter()
@@ -104,11 +125,31 @@ class Experiment:
             "train": self.trainer.timers["train"].get_eval_rate(),
             "eval": self.trainer.timers["eval"].get_eval_rate(),
             "hmc": self.trainer.timers["hmc"].get_eval_rate(),
+            "eval_stats": self.sampler_stats("eval"),
+            "hmc_stats": self.sampler_stats("hmc"),
         }
         with open(os.path.join(self.outdir, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
+        self.make_plots()
         log.info(f"model_improvement: {improvement:.3f}")
         return summary
+
+    def make_plots(self) -> None:
+        """End-of-job metric plots (reference common.py:732-900)."""
+        try:
+            from l2hmc_tpu.utils import plots
+        except ImportError:
+            return
+        keys = ["loss", "acc", "dQint", "dQsin", "plaqs", "sumlogdet",
+                "grad_norm"]
+        for job in ("train", "eval", "hmc"):
+            h = self.trainer.histories[job].get_dataset()
+            if not h:
+                continue
+            d = os.path.join(self.outdir, "plots", job)
+            plots.plot_history(h, d, logging_steps=1, keys=keys)
+            if "intQ" in h and np.asarray(h["intQ"]).ndim >= 2:
+                plots.plot_ridge(h["intQ"], "intQ", d)
 
 
 def build_experiment(overrides: Optional[Sequence[str]] = None,

@@ -63,6 +63,19 @@ def trace(x: jax.Array) -> jax.Array:
     return jnp.trace(x, axis1=-2, axis2=-1)
 
 
+def det3x3(x: jax.Array) -> jax.Array:
+    """Closed-form 3x3 determinant (cofactor expansion).
+
+    TPU's XLA has no complex LU decomposition (jnp.linalg.det is
+    UNIMPLEMENTED there); for 3x3 the explicit form is also faster and
+    exactly differentiable.
+    """
+    a, b, c = x[..., 0, 0], x[..., 0, 1], x[..., 0, 2]
+    d, e, f = x[..., 1, 0], x[..., 1, 1], x[..., 1, 2]
+    g_, h, i = x[..., 2, 0], x[..., 2, 1], x[..., 2, 2]
+    return a * (e * i - f * h) - b * (d * i - f * g_) + c * (d * h - e * g_)
+
+
 def norm2(x: jax.Array, axis=(-2, -1)) -> jax.Array:
     """Frobenius norm squared over `axis` (utils.py:157-168)."""
     n = jnp.square(jnp.abs(x))
@@ -173,7 +186,7 @@ def rsqrtPHM3(x: jax.Array) -> jax.Array:
     tr = trace(x).real
     x2 = x @ x
     p2 = trace(x2).real
-    det = jnp.linalg.det(x).real
+    det = det3x3(x).real
     c0, c1, c2 = _rsqrtPHM3f(tr, p2, det)
     cast = lambda c: c[..., None, None].astype(x.dtype)
     return cast(c0) * eye_of(x) + cast(c1) * x + cast(c2) * x2
@@ -189,7 +202,7 @@ def projectSU(x: jax.Array) -> jax.Array:
     """projectU then rotate the det phase to land in SU(3) (utils.py:341-346)."""
     nc = x.shape[-1]
     m = projectU(x)
-    d = jnp.linalg.det(m)
+    d = det3x3(m)
     p = jnp.arctan2(d.imag, d.real) / (-nc)
     phase = jax.lax.complex(jnp.cos(p), jnp.sin(p)).astype(x.dtype)
     return m * phase[..., None, None]
@@ -216,7 +229,7 @@ def checkSU(x: jax.Array):
     """(mean, max) deviation of x†x from I and det x from 1, per chain."""
     nc = x.shape[-1]
     d = norm2(adjoint(x) @ x - eye_of(x))
-    d = d + jnp.square(jnp.abs(jnp.linalg.det(x) - 1.0))
+    d = d + jnp.square(jnp.abs(det3x3(x) - 1.0))
     d = d.reshape(d.shape[0], -1)
     a = jnp.mean(d, axis=-1)
     b = jnp.max(d, axis=-1)

@@ -1,0 +1,74 @@
+"""History / timer / plots utility tests."""
+import os
+
+import numpy as np
+
+from l2hmc_tpu.utils.history import History, summarize_dict
+from l2hmc_tpu.utils.step_timer import StepTimer
+from l2hmc_tpu.utils import plots
+
+
+def test_history_accumulate_and_dataset():
+    h = History()
+    for step in range(5):
+        avgs = h.update({"loss": np.float64(step), "acc": np.ones(4) * 0.5})
+        assert avgs["acc"] == 0.5
+    d = h.get_dataset()
+    assert d["loss"].shape == (5,)
+    assert d["acc"].shape == (4, 5)  # (chain, draw)
+
+
+def test_history_per_leapfrog_reshape():
+    h = History()
+    for _ in range(3):
+        h.update({"energy": np.zeros((6, 4))})  # (nlf, chain) per draw
+    d = h.get_dataset()
+    assert d["energy"].shape == (4, 6, 3)  # (chain, leapfrog, draw)
+
+
+def test_history_save(tmp_path):
+    h = History()
+    for i in range(4):
+        h.update({"x": np.random.randn(3)})
+    p = h.save(str(tmp_path), "train")
+    assert os.path.exists(p)
+    assert os.path.exists(tmp_path / "train_summary.json")
+
+
+def test_step_timer_rates():
+    t = StepTimer(evals_per_step=8)
+    import time
+    for _ in range(3):
+        with t:
+            time.sleep(0.01)
+    r = t.get_eval_rate()
+    assert r["nsteps"] == 3
+    assert r["nevals"] == 24
+    assert r["eval_rate"] > 0
+
+
+def test_summarize_dict():
+    s = summarize_dict({"a": np.float64(1.5), "b": np.ones(3)})
+    assert "a=1.5" in s and "b=1" in s
+
+
+def test_plots(tmp_path):
+    hist = {
+        "loss": np.random.randn(20),
+        "acc": np.random.rand(4, 20),
+        "energy": np.random.randn(4, 6, 20),
+    }
+    out = plots.plot_history(hist, str(tmp_path))
+    assert len(out) == 3
+    for p in out:
+        assert os.path.exists(p)
+    rp = plots.plot_ridge(np.random.randn(4, 50), "intQ", str(tmp_path))
+    assert rp is None or os.path.exists(rp)
+
+
+def test_measure_improvement(tmp_path):
+    he = {"dQint": np.full((4, 10), 0.3)}
+    hh = {"dQint": np.full((4, 10), 0.1)}
+    imp = plots.measure_improvement(he, hh, str(tmp_path))
+    assert abs(imp - 3.0) < 1e-12
+    assert os.path.exists(tmp_path / "model_improvement.txt")
