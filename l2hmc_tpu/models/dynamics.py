@@ -128,10 +128,9 @@ class Dynamics:
             self.mask_dim = 4 * vol
             self.conv_channels = 0
             self.conv_hw = None
-        self.real_dtype = (
-            jnp.zeros((), dtype).real.dtype
-            if jnp.issubdtype(dtype, jnp.complexfloating) else dtype
-        )
+        # metadata-only real dtype (finfo(c64).dtype == f32); never create
+        # an eager complex array on the host path — see ops/su3._real_dtype
+        self.real_dtype = jnp.finfo(dtype).dtype
 
     # ------------------------------------------------------------------
     # Initialization

@@ -37,8 +37,11 @@ ONE_THIRD = 1.0 / 3.0
 
 
 def _real_dtype(dtype) -> jnp.dtype:
-    return jnp.finfo(dtype).dtype if jnp.issubdtype(dtype, jnp.floating) \
-        else jnp.zeros((), dtype).real.dtype
+    # metadata-only: jnp.finfo(complex64).dtype == float32. Never build a
+    # throwaway complex array here — an EAGER complex op poisons the whole
+    # TPU session on the axon backend (every later dispatch returns
+    # UNIMPLEMENTED), so host-side code must keep complex math inside jit.
+    return jnp.finfo(dtype).dtype
 
 
 def eye_of(x: jax.Array) -> jax.Array:

@@ -1,0 +1,89 @@
+"""Dynamic annealing + LR plateau scheduling (host-side controllers).
+
+Counterparts of the reference's `Annealear` (configs.py:877-988): a
+patience-based controller that advances beta up the ladder when the loss
+improves (or has negative average slope) and backs off when stuck; and the
+TF trainer's `ReduceLROnPlateau` (learning_rate/tensorflow/
+learning_rate.py:39+) as a pure-Python learning-rate multiplier the
+optimizer chain consumes through `optax.scale_by_learning_rate` injection.
+Both controllers live outside jit — they only decide the next era's scalar
+hyperparameters, exactly like the reference
+(trainers/pytorch/trainer.py:1819-1824 dynamic beta adjust).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from l2hmc_tpu.configs import AnnealingSchedule, LearningRateConfig
+
+
+class Annealer:
+    """Patience-based dynamic beta controller."""
+
+    def __init__(self, schedule: AnnealingSchedule, patience: int = 5):
+        self.schedule = schedule
+        self.patience = patience
+        self.betas: list[float] = [schedule.beta_init]
+        self.losses: dict[int, list[float]] = {}
+        self._prev_best = np.inf
+
+    @property
+    def dbeta(self) -> float:
+        nera = max(len(self.schedule.betas) - 1, 1) if getattr(
+            self.schedule, "betas", None) else 1
+        return (self.schedule.beta_final - self.schedule.beta_init) / nera
+
+    @staticmethod
+    def avg_slope(y: list[float], drop: int = 0) -> float:
+        y = list(y)[drop:]
+        if len(y) < 2:
+            return 0.0
+        return float(np.mean(np.subtract(y[1:], y[:-1])))
+
+    def end_era(self, era: int, beta: float, losses: list[float]) -> float:
+        """Decide the next era's beta from this era's loss trace
+        (configs.py:958-988): improve -> step up; stuck past patience ->
+        step back; else hold."""
+        self.losses[era] = list(losses)
+        new_best = float(np.min(losses)) if losses else np.inf
+        slope = self.avg_slope(losses)
+        current = beta
+        nxt = min(current + abs(self.dbeta), self.schedule.beta_final)
+        prev = max(current - abs(self.dbeta), self.schedule.beta_init)
+        if new_best < self._prev_best or slope < 0:
+            self._prev_best = min(new_best, self._prev_best)
+            out = nxt
+        elif self.betas.count(current) > self.patience:
+            out = prev
+        else:
+            out = current
+        self.betas.append(out)
+        return out
+
+
+class ReduceLROnPlateau:
+    """Multiplicative LR decay when the monitored loss plateaus."""
+
+    def __init__(self, cfg: LearningRateConfig):
+        self.cfg = cfg
+        self.lr = cfg.lr_init
+        self.best = np.inf
+        self.wait = 0
+        self.cooldown = 0
+
+    def update(self, loss: float) -> float:
+        """Feed one loss observation; returns the (possibly decayed) lr."""
+        if self.cooldown > 0:
+            self.cooldown -= 1
+        if loss < self.best - self.cfg.min_delta:
+            self.best = loss
+            self.wait = 0
+        elif self.cooldown == 0:
+            self.wait += 1
+            if self.wait >= self.cfg.patience:
+                self.lr = max(self.lr * self.cfg.factor, self.cfg.min_lr)
+                self.wait = 0
+                self.cooldown = self.cfg.cooldown
+        return self.lr

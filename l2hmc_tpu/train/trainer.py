@@ -76,11 +76,18 @@ class Trainer:
         chain = []
         if lr.clip_norm and lr.clip_norm > 0:
             chain.append(optax.clip_by_global_norm(lr.clip_norm))
+        self._plateau = None
         if lr.warmup and lr.warmup > 0:
             sched = optax.linear_schedule(0.0, lr.lr_init, lr.warmup)
             chain.append(optax.adam(sched))
         else:
-            chain.append(optax.adam(lr.lr_init))
+            # inject_hyperparams lets the host-side ReduceLROnPlateau
+            # controller rewrite the lr between eras without recompiling
+            chain.append(optax.inject_hyperparams(optax.adam)(
+                learning_rate=lr.lr_init))
+            if lr.factor and lr.factor < 1.0:
+                from l2hmc_tpu.train.annealing import ReduceLROnPlateau
+                self._plateau = ReduceLROnPlateau(lr)
         self.tx = optax.chain(*chain)
 
         sched = cfg.annealing_schedule
@@ -100,11 +107,24 @@ class Trainer:
     # ------------------------------------------------------------------
     # Initialization
     # ------------------------------------------------------------------
+    def _random_x(self, key, nchains=None):
+        """Jitted random-config draw: SU(3) projectSU must not run
+        eagerly on TPU (eager complex ops poison the axon session)."""
+        if "rx" not in self._jit_cache:
+            self._jit_cache["rx"] = jax.jit(
+                self.dynamics.random_x, static_argnums=(1,))
+        return self._jit_cache["rx"](key, nchains)
+
+    def _init_params(self, key):
+        if "init" not in self._jit_cache:
+            self._jit_cache["init"] = jax.jit(self.dynamics.init_params)
+        return self._jit_cache["init"](key)
+
     def init_state(self, key: jax.Array) -> tuple[TrainState, jax.Array]:
         k_params, k_x = jax.random.split(key)
-        params, masks = self.dynamics.init_params(k_params)
+        params, masks = self._init_params(k_params)
         opt_state = self.tx.init(params)
-        x = self.dynamics.random_x(k_x)
+        x = self._random_x(k_x)
         ts = TrainState(params, masks, opt_state, jnp.zeros((), jnp.int32))
         if self.mesh is not None:
             ts = pmesh.replicate(self.mesh, ts)
@@ -242,9 +262,17 @@ class Trainer:
         stuck_counter = 0
         nlog = steps.log
         nprint = console_interval or steps.print
+        annealer = None
+        if self.schedule.dynamic:
+            from l2hmc_tpu.train.annealing import Annealer
+            annealer = Annealer(self.schedule,
+                                patience=self.cfg.learning_rate.patience)
+        beta = self.schedule.beta_for_era(0, nera)
 
         for era in range(nera):
-            beta = self.schedule.beta_for_era(era, nera)
+            if annealer is None:
+                beta = self.schedule.beta_for_era(era, nera)
+            era_losses: list[float] = []
             key, kw = jax.random.split(key)
             if era == 0:
                 x, _ = self.warmup(x, beta, kw, nsteps=20)
@@ -260,6 +288,8 @@ class Trainer:
                 timer.stop()
                 if (epoch % nlog == 0) or (epoch == epochs - 1):
                     avgs = history.update(metrics)
+                    if "loss" in avgs:
+                        era_losses.append(avgs["loss"])
                     if epoch % nprint == 0:
                         log.info(
                             f"era={era} epoch={epoch} "
@@ -274,7 +304,7 @@ class Trainer:
                         if stuck_counter >= patience:
                             log.warning("chains stuck; redrawing x")
                             key, kx = jax.random.split(key)
-                            x = self.dynamics.random_x(kx)
+                            x = self._random_x(kx)
                             if self.mesh is not None:
                                 x = pmesh.shard_chains(self.mesh, x)
                             stuck_counter = 0
@@ -282,7 +312,29 @@ class Trainer:
                         stuck_counter = 0
             log.info(f"era {era} done in {time.perf_counter() - t_era:.1f}s "
                      f"(beta={beta:.3f})")
+            if annealer is not None and era_losses:
+                # dynamic beta adjust (trainer.py:1819-1824 +
+                # configs.py:958-988)
+                beta = annealer.end_era(era, beta, era_losses)
+            if self._plateau is not None and era_losses:
+                new_lr = self._plateau.update(float(np.min(era_losses)))
+                ts = self._set_lr(ts, new_lr)
         return ts, x, key
+
+    def _set_lr(self, ts: TrainState, lr: float) -> TrainState:
+        """Rewrite the injected adam learning rate (host-side plateau
+        control) without touching compiled code."""
+        idx = 1 if (self.cfg.learning_rate.clip_norm or 0) > 0 else 0
+        inner = ts.opt_state[idx]
+        if hasattr(inner, "hyperparams"):
+            hp = dict(inner.hyperparams)
+            hp["learning_rate"] = jnp.asarray(
+                lr, dtype=jnp.asarray(inner.hyperparams["learning_rate"]).dtype)
+            inner = inner._replace(hyperparams=hp)
+            opt_state = tuple(
+                inner if i == idx else s for i, s in enumerate(ts.opt_state))
+            return ts._replace(opt_state=opt_state)
+        return ts
 
     # ------------------------------------------------------------------
     # Eval / HMC loop (trainer.py:1085-1252)
@@ -299,7 +351,7 @@ class Trainer:
             2, self.cfg.dynamics.nchains // 4)
         if x is None:
             key, kx = jax.random.split(key)
-            x = self.dynamics.random_x(kx, nchains)
+            x = self._random_x(kx, nchains)
         else:
             x = x[:nchains]
         eps = eps if eps is not None else self.cfg.dynamics.eps_hmc
@@ -322,7 +374,7 @@ class Trainer:
                 stuck_counter += 1
                 if stuck_counter >= patience:
                     key, kx = jax.random.split(key)
-                    x = self.dynamics.random_x(kx, nchains)
+                    x = self._random_x(kx, nchains)
                     stuck_counter = 0
             else:
                 stuck_counter = 0

@@ -20,11 +20,22 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
+_CHECK_SU_JIT = None
+
+
 def check_su(tag: str, x) -> tuple[float, float]:
+    """Jitted checkSU — eager complex ops poison the axon TPU session."""
+    global _CHECK_SU_JIT
+    import jax
     import jax.numpy as jnp
     from l2hmc_tpu.ops import su3 as g
-    a, b = g.checkSU(np.asarray(x).reshape(x.shape[0], -1, 3, 3))
-    amax, bmax = float(jnp.max(a)), float(jnp.max(b))
+    if _CHECK_SU_JIT is None:
+        def _impl(x):
+            a, b = g.checkSU(x.reshape(x.shape[0], -1, 3, 3))
+            return jnp.max(a), jnp.max(b)
+        _CHECK_SU_JIT = jax.jit(_impl)
+    a, b = _CHECK_SU_JIT(x)
+    amax, bmax = float(a), float(b)
     log.info(f"checkSU[{tag}]: mean={amax:.3e} max={bmax:.3e}")
     return amax, bmax
 
