@@ -126,6 +126,9 @@ class DynamicsConfig(BaseConfig):
     use_split_xnets: bool = True
     use_separate_networks: bool = True
     merge_directions: bool = True
+    # use hand-written Pallas TPU kernels for the lattice force
+    # (l2hmc_tpu.ops.pallas); ignored off-TPU
+    use_pallas: bool = False
 
     def __post_init__(self):
         self.group = self.group.upper()
@@ -299,7 +302,7 @@ DEFAULTS_U1 = dict(
     steps=dict(nera=5, nepoch=1000, test=2000),
     dynamics=dict(
         nchains=2048, group="U1", latvolume=[16, 16], nleapfrog=8,
-        eps=0.1, use_ncp=True, merge_directions=True,
+        eps=0.1, use_ncp=True, merge_directions=True, use_pallas=True,
     ),
     loss=dict(use_mixed_loss=True, charge_weight=0.01),
     network=dict(units=[16, 16, 16, 16], activation_fn="leaky_relu",

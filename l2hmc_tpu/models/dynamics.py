@@ -100,8 +100,11 @@ class Dynamics:
         self.nlf = config.nleapfrog
         self.dtype = dtype
         if self.group == "U1":
+            use_pallas = bool(getattr(config, "use_pallas", False)) and (
+                jax.default_backend() not in ("cpu",))
             self.lattice = lattice_u1.LatticeU1(
-                config.nchains, list(config.latvolume))
+                config.nchains, list(config.latvolume),
+                use_pallas=use_pallas)
             self.g = u1g
             self.xdim = config.xdim
             self.x_in_dim = 2 * self.xdim   # [cos, sin]

@@ -100,8 +100,18 @@ def action_from_wloops(wloops: jax.Array, beta) -> jax.Array:
     return beta * jnp.sum(1.0 - jnp.cos(wloops), axis=(1, 2))
 
 
+def plaq_adjoint(y: jax.Array, shape) -> jax.Array:
+    """The adjoint A^T of the linear plaquette map W = A x:
+        (A^T y)_u[t,x] = y[t,x] - y[t,x-1]
+        (A^T y)_v[t,x] = y[t-1,x] - y[t,x]
+    so that dS/dx = beta * A^T sin(W)."""
+    du = y - jnp.roll(y, 1, axis=2)
+    dv = jnp.roll(y, 1, axis=1) - y
+    return jnp.stack([du, dv], axis=1).reshape(shape)
+
+
 def grad_action(x: jax.Array, beta, nt: int, nx: int) -> jax.Array:
-    """Closed-form dS/dx.
+    """Closed-form dS/dx = beta * A^T sin(A x).
 
     With W[t,x] = xu[t,x] + xv[t+1,x] - xu[t,x+1] - xv[t,x] and
     S = beta sum (1 - cos W):
@@ -111,13 +121,8 @@ def grad_action(x: jax.Array, beta, nt: int, nx: int) -> jax.Array:
     grad_action, lattice.py:102-117) — asserted in tests — at roughly half
     the flops and with no VJP graph.
     """
-    shape = x.shape
     w = wilson_loops(x, nt, nx)
-    sw = jnp.sin(w)
-    du = sw - jnp.roll(sw, 1, axis=2)
-    dv = jnp.roll(sw, 1, axis=1) - sw
-    out = jnp.stack([du, dv], axis=1) * beta
-    return out.reshape(shape)
+    return beta * plaq_adjoint(jnp.sin(w), x.shape)
 
 
 def grad_action_autodiff(x: jax.Array, beta, nt: int, nx: int) -> jax.Array:
@@ -169,7 +174,7 @@ class LatticeU1:
     used directly inside jitted/scanned code.
     """
 
-    def __init__(self, nchains: int, shape):
+    def __init__(self, nchains: int, shape, use_pallas: bool = False):
         assert len(shape) == 2
         self.g = g
         self.nt, self.nx = shape
@@ -179,6 +184,7 @@ class LatticeU1:
         self.xshape = (2, self.nt, self.nx)
         self._shape = (nchains, *self.xshape)
         self.xdim = 2 * self.nt * self.nx
+        self.use_pallas = use_pallas
 
     def random(self, key, dtype=jnp.float32):
         return g.random(key, self._shape, dtype)
@@ -193,6 +199,11 @@ class LatticeU1:
         return action(x, beta, self.nt, self.nx)
 
     def grad_action(self, x, beta):
+        if self.use_pallas:
+            from l2hmc_tpu.ops.pallas import u1_kernels
+            force, _ = u1_kernels.force_action_ad(
+                x, jnp.asarray(beta, x.dtype), self.nt, self.nx)
+            return force
         return grad_action(x, beta, self.nt, self.nx)
 
     def wilson_loops(self, x):
