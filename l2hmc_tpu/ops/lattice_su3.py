@@ -33,36 +33,39 @@ def _to_lattice(x: jax.Array, latvolume) -> jax.Array:
     return x.reshape(x.shape[0], 4, *latvolume, 3, 3)
 
 
-def _plane_loops(x: jax.Array, u: int, v: int):
+def _plane_loops(x: jax.Array, u: int, v: int, roll=jnp.roll):
     """yuv = U_u(n) U_v(n+u), yvu = U_v(n) U_u(n+v) for one (u, v) plane.
 
     Axis u+1 of the per-direction field (nb, nt, nx, ny, nz, 3, 3) is the
-    lattice direction u (lattice.py:170-176).
+    lattice direction u (lattice.py:170-176). `roll` is jnp.roll for a
+    single-device lattice or a halo-exchange roll (parallel/halo.py) when
+    a lattice axis is sharded over the mesh.
     """
     xu = x[:, u]
     xv = x[:, v]
-    yuv = xu @ jnp.roll(xv, -1, axis=u + 1)
-    yvu = xv @ jnp.roll(xu, -1, axis=v + 1)
+    yuv = xu @ roll(xv, -1, axis=u + 1)
+    yvu = xv @ roll(xu, -1, axis=v + 1)
     return xu, xv, yuv, yvu
 
 
-def _plane_rect_traces(x, u, v, xu, xv, yuv, yvu):
+def _plane_rect_traces(x, u, v, xu, xv, yuv, yvu, roll=jnp.roll):
     """Traces of the two 2x1 rectangles in the (u, v) plane
     (lattice.py:180-195)."""
-    yu = jnp.roll(xu, -1, axis=v + 1)
-    yv = jnp.roll(xv, -1, axis=u + 1)
+    yu = roll(xu, -1, axis=v + 1)
+    yv = roll(xv, -1, axis=u + 1)
     uu = g.mul(xv, yuv, adjoint_a=True)
     ur = g.mul(xu, yvu, adjoint_a=True)
     ul = g.mul(yuv, yu, adjoint_b=True)
     ud = g.mul(yvu, yv, adjoint_b=True)
-    ul_ = jnp.roll(ul, -1, axis=u + 1)
-    ud_ = jnp.roll(ud, -1, axis=v + 1)
+    ul_ = roll(ul, -1, axis=u + 1)
+    ud_ = roll(ud, -1, axis=v + 1)
     tr_urul = g.trace(g.mul(ur, ul_, adjoint_b=True))
     tr_uuud = g.trace(g.mul(uu, ud_, adjoint_b=True))
     return tr_urul, tr_uuud
 
 
-def wilson_loops(x: jax.Array, latvolume, needs_rect: bool = False):
+def wilson_loops(x: jax.Array, latvolume, needs_rect: bool = False,
+                 roll=jnp.roll):
     """Stacked plaquette traces (6, nb, nt, nx, ny, nz) over the 6 planes,
     plus rectangle traces (12, ...) when requested (lattice.py:157-199)."""
     x = _to_lattice(x, latvolume)
@@ -70,10 +73,11 @@ def wilson_loops(x: jax.Array, latvolume, needs_rect: bool = False):
     rects = []
     for u in range(1, 4):
         for v in range(0, u):
-            xu, xv, yuv, yvu = _plane_loops(x, u, v)
+            xu, xv, yuv, yvu = _plane_loops(x, u, v, roll=roll)
             plaqs.append(g.trace(g.mul(yuv, yvu, adjoint_b=True)))
             if needs_rect:
-                rects.extend(_plane_rect_traces(x, u, v, xu, xv, yuv, yvu))
+                rects.extend(_plane_rect_traces(x, u, v, xu, xv, yuv, yvu,
+                                                roll=roll))
     ps = jnp.stack(plaqs)
     rs = jnp.stack(rects) if needs_rect else None
     return ps, rs
@@ -85,11 +89,12 @@ def coeffs(beta, c1: float):
     return {"plaq": beta * (1.0 - 8.0 * c1), "rect": beta * c1}
 
 
-def action(x: jax.Array, beta, latvolume, c1: float = 0.0) -> jax.Array:
+def action(x: jax.Array, beta, latvolume, c1: float = 0.0,
+           roll=jnp.roll) -> jax.Array:
     """S = -(1/3) [beta(1-8c1) sum Re tr P + beta c1 sum Re tr R] per chain
     (lattice.py:252-269)."""
     cs = coeffs(beta, c1)
-    ps, rs = wilson_loops(x, latvolume, needs_rect=(c1 != 0))
+    ps, rs = wilson_loops(x, latvolume, needs_rect=(c1 != 0), roll=roll)
     psum = ps.real.sum(axis=tuple(range(2, ps.ndim))).sum(0)
     act = cs["plaq"] * psum
     if c1 != 0:
@@ -124,7 +129,7 @@ def grad_action_autodiff(x: jax.Array, beta, latvolume,
     return f.reshape(shape)
 
 
-def staples(x: jax.Array, latvolume) -> jax.Array:
+def staples(x: jax.Array, latvolume, roll=jnp.roll) -> jax.Array:
     """Sum of the 6 plaquette staples A_u(n) for every link U_u(n).
 
     For S ⊃ tr[U_u(n) A_u(n)], the staple in the (u, v) plane is
@@ -140,19 +145,20 @@ def staples(x: jax.Array, latvolume) -> jax.Array:
             if v == u:
                 continue
             xv = x[:, v]
-            xv_pu = jnp.roll(xv, -1, axis=u + 1)          # U_v(n+u)
-            xu_pv = jnp.roll(xu, -1, axis=v + 1)          # U_u(n+v)
+            xv_pu = roll(xv, -1, axis=u + 1)              # U_v(n+u)
+            xu_pv = roll(xu, -1, axis=v + 1)              # U_u(n+v)
             up = xv_pu @ g.adjoint(xu_pv) @ g.adjoint(xv)
-            xv_mv = jnp.roll(xv, 1, axis=v + 1)           # U_v(n-v)
-            xu_mv = jnp.roll(xu, 1, axis=v + 1)           # U_u(n-v)
-            xv_pu_mv = jnp.roll(xv_mv, -1, axis=u + 1)    # U_v(n+u-v)
+            xv_mv = roll(xv, 1, axis=v + 1)               # U_v(n-v)
+            xu_mv = roll(xu, 1, axis=v + 1)               # U_u(n-v)
+            xv_pu_mv = roll(xv_mv, -1, axis=u + 1)        # U_v(n+u-v)
             down = g.adjoint(xv_pu_mv) @ g.adjoint(xu_mv) @ xv_mv
             acc = up + down if acc is None else acc + (up + down)
         out.append(acc)
     return jnp.stack(out, axis=1)
 
 
-def grad_action(x: jax.Array, beta, latvolume, c1: float = 0.0) -> jax.Array:
+def grad_action(x: jax.Array, beta, latvolume, c1: float = 0.0,
+                roll=jnp.roll) -> jax.Array:
     """Closed-form force for the plaquette action.
 
     For S = -(b/3) sum_p Re tr P (b = beta(1-8c1)): the torch-convention
@@ -169,7 +175,7 @@ def grad_action(x: jax.Array, beta, latvolume, c1: float = 0.0) -> jax.Array:
     shape = x.shape
     xl = _to_lattice(x, latvolume)
     b = jnp.asarray(beta) * (1.0 - 8.0 * c1)
-    ua = xl @ staples(xl, latvolume)
+    ua = xl @ staples(xl, latvolume, roll=roll)
     f = (b / 3.0) * g.projectTAH(ua)
     return f.reshape(shape)
 
