@@ -241,6 +241,10 @@ class ExperimentConfig(BaseConfig):
     compile: bool = True
     framework: str = "jax"
     backend: str = "shard_map"
+    use_tb: bool = False
+    use_wandb: bool = False
+    init_aim: bool = False
+    name: Optional[str] = None
 
     def __post_init__(self):
         for name, cls in (

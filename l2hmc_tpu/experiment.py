@@ -45,6 +45,12 @@ class Experiment:
         self.key = jax.random.PRNGKey(cfg.seed)
         self._ts: Optional[TrainState] = None
         self._x = None
+        if cfg.use_tb or cfg.use_wandb or cfg.init_aim:
+            from l2hmc_tpu.utils.trackers import Trackers
+            self.trainer.trackers = Trackers(
+                self.outdir, use_tb=cfg.use_tb, use_wandb=cfg.use_wandb,
+                use_aim=cfg.init_aim, config=cfg.to_dict(),
+                run_name=cfg.name)
 
     # ------------------------------------------------------------------
     def setup(self):

@@ -101,6 +101,7 @@ class Trainer:
             ("train", "eval", "hmc", "warmup")
         }
         self.histories = {j: History() for j in ("train", "eval", "hmc")}
+        self.trackers = None   # optional utils.trackers.Trackers fan-out
 
         self._jit_cache: dict[str, Any] = {}
 
@@ -288,6 +289,9 @@ class Trainer:
                 timer.stop()
                 if (epoch % nlog == 0) or (epoch == epochs - 1):
                     avgs = history.update(metrics)
+                    if self.trackers is not None:
+                        self.trackers.update_summaries(
+                            metrics, int(ts.step), "train")
                     if "loss" in avgs:
                         era_losses.append(avgs["loss"])
                     if epoch % nprint == 0:
@@ -370,6 +374,8 @@ class Trainer:
             jax.block_until_ready(x)
             timer.stop()
             avgs = history.update(metrics)
+            if self.trackers is not None:
+                self.trackers.update_summaries(metrics, step, job_type)
             if avgs.get("acc", 1.0) < 1e-5:
                 stuck_counter += 1
                 if stuck_counter >= patience:
