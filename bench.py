@@ -59,7 +59,7 @@ def bench_su3():
     shape = (nchains, 4, L, L, L, L, 3, 3)
     x = jnp.broadcast_to(jnp.eye(3, dtype=jnp.complex64), shape)
     beta = jnp.float32(6.0)
-    eps = jnp.float32(0.05)
+    eps = jnp.float32(0.01)
     K = 50
 
     @jax.jit
