@@ -76,12 +76,31 @@ class ShardedLatticeSU3:
         self.x_sharding = NamedSharding(mesh, X_SPEC)
 
         lv = self.local_volume
+        use_soa = (c1 == 0.0)   # SoA engine covers the plaquette action
+        self.use_soa = use_soa
+        if use_soa:
+            from l2hmc_tpu.ops import su3_soa as soa
+            # SoA per-direction fields are (3, 3, t, x, y, z, nb): the
+            # sharded t axis is index 2
+            soa_roll = make_sharded_roll("lattice", 2)
+
+            def _to_soa(x):
+                return soa.from_complex(jnp.moveaxis(x, 0, -3))
+
+            def _from_soa(m):
+                return jnp.moveaxis(soa.to_complex(m), -3, 0)
 
         def _action(x, beta):
-            s = lattice_su3.action(x, beta, lv, self.c1, roll=self._roll)
+            if use_soa:
+                s = soa.action(_to_soa(x), beta, roll=soa_roll)
+            else:
+                s = lattice_su3.action(x, beta, lv, self.c1, roll=self._roll)
             return jax.lax.psum(s, "lattice")
 
         def _force(x, beta):
+            if use_soa:
+                return _from_soa(soa.grad_action(_to_soa(x), beta,
+                                                 roll=soa_roll))
             return lattice_su3.grad_action(x, beta, lv, self.c1,
                                            roll=self._roll)
 
@@ -89,8 +108,12 @@ class ShardedLatticeSU3:
             return jax.lax.psum(g.kinetic_energy(v), "lattice")
 
         def _plaqs(x):
-            ps, _ = lattice_su3.wilson_loops(x, lv, roll=self._roll)
-            local = ps.real.sum(axis=tuple(range(2, ps.ndim))).sum(0)
+            if use_soa:
+                re_tot, _ = soa.plaq_traces(_to_soa(x), roll=soa_roll)
+                local = jnp.sum(re_tot, axis=tuple(range(re_tot.ndim - 1)))
+            else:
+                ps, _ = lattice_su3.wilson_loops(x, lv, roll=self._roll)
+                local = ps.real.sum(axis=tuple(range(2, ps.ndim))).sum(0)
             tot = jax.lax.psum(local, "lattice")
             return tot / (6 * 3 * self.volume)
 
@@ -105,6 +128,26 @@ class ShardedLatticeSU3:
             _plaqs, in_specs=(X_SPEC,), out_specs=P("data")))
 
         def _hmc_traj(x, v, beta, eps, nlf):
+            if use_soa:
+                # whole trajectory in the SoA engine: convert once per
+                # trajectory, psum the Hamiltonian pieces over 'lattice'
+                xs, vs = _to_soa(x), _to_soa(v)
+                f0 = soa.grad_action(xs, beta, roll=soa_roll)
+
+                def body(carry, _):
+                    xs, vs, f = carry
+                    return soa.leapfrog(xs, vs, beta, eps, f, soa_roll), None
+
+                (xp_s, vp_s, _), _ = jax.lax.scan(
+                    body, (xs, vs, f0), None, length=nlf)
+                h0 = (jax.lax.psum(soa.kinetic_energy(vs), "lattice")
+                      + _action(x, beta))
+                xp = _from_soa(xp_s)
+                vp = _from_soa(vp_s)
+                h1 = (jax.lax.psum(soa.kinetic_energy(vp_s), "lattice")
+                      + _action(xp, beta))
+                return xp, vp, h0 - h1
+
             def body(carry, _):
                 x, v, force = carry
                 v1 = v - 0.5 * eps * force
