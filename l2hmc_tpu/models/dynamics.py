@@ -48,6 +48,7 @@ from l2hmc_tpu.configs import (
 from l2hmc_tpu.models import networks as net
 from l2hmc_tpu.ops import u1 as u1g
 from l2hmc_tpu.ops import su3 as su3g
+from l2hmc_tpu.ops import su3_soa as soa
 from l2hmc_tpu.ops import lattice_u1, lattice_su3
 
 
@@ -91,10 +92,13 @@ class Dynamics:
         net_weights: Optional[NetWeights] = None,
         conv: Optional[ConvolutionConfig] = None,
         dtype=jnp.float32,
+        net_compute_dtype=None,
     ):
         self.config = config
         self.network_config = network
         self.net_weights = net_weights or NetWeights()
+        # mixed precision for the (s,t,q) GEMM stacks (e.g. bfloat16)
+        self.net_compute_dtype = net_compute_dtype
         self.conv = conv if (conv and conv.filters) else None
         self.group = config.group
         self.nlf = config.nleapfrog
@@ -200,6 +204,57 @@ class Dynamics:
         return jnp.stack(rows)
 
     # ------------------------------------------------------------------
+    # Internal representation: SU(3) runs the whole trajectory in the SoA
+    # engine (ops/su3_soa — the complex (...,3,3) AoS layout wastes ~99%
+    # of each TPU vector tile); U(1) stays flat. Conversions happen once
+    # per kernel invocation.
+    # ------------------------------------------------------------------
+    def _x_to_soa(self, x: jax.Array) -> "soa.M3":
+        """(nb, d, t, x, y, z, 3, 3) complex -> M3 batch (d,t,x,y,z,nb)."""
+        return soa.from_complex(jnp.moveaxis(x, 0, -3))
+
+    def _x_from_soa(self, m: "soa.M3") -> jax.Array:
+        return jnp.moveaxis(soa.to_complex(m), -3, 0)
+
+    def _to_internal(self, state: State):
+        if self.group == "SU3":
+            return (self._x_to_soa(state.x), self._x_to_soa(state.v),
+                    state.beta)
+        return (state.x, state.v, state.beta)
+
+    def _from_internal(self, i) -> State:
+        if self.group == "SU3":
+            return State(self._x_from_soa(i[0]), self._x_from_soa(i[1]), i[2])
+        return State(i[0], i[1], i[2])
+
+    def _flip_v_internal(self, i):
+        if self.group == "SU3":
+            return (i[0], soa.scale(i[1], -1.0), i[2])
+        return (i[0], -i[1], i[2])
+
+    def _grad_internal(self, ix, beta):
+        if self.group == "SU3":
+            return soa.grad_action(ix, beta)
+        return self.lattice.grad_action(ix, beta)
+
+    def _hamiltonian_internal(self, ix, iv, beta) -> jax.Array:
+        if self.group == "SU3":
+            return soa.kinetic_energy(iv) + soa.action(ix, beta)
+        return (self.lattice.kinetic_energy(iv)
+                + self.lattice.action(ix, beta))
+
+    def _vec_flatten(self, vec: jax.Array) -> jax.Array:
+        """SoA coord field (8, d, t, x, y, z, nb) -> (nb, features)."""
+        return jnp.moveaxis(vec, -1, 0).reshape(vec.shape[-1], -1)
+
+    def _stq_to_soa(self, a: jax.Array) -> jax.Array:
+        """Real head output (nb, 4*vol*9) -> SoA broadcast layout
+        (3, 3, d, t, x, y, z, nb)."""
+        lat = self.config.latvolume
+        r = a.reshape(a.shape[0], 4, *lat, 3, 3)
+        return jnp.transpose(r, (6, 7, 1, 2, 3, 4, 5, 0))
+
+    # ------------------------------------------------------------------
     # Physics helpers
     # ------------------------------------------------------------------
     def potential(self, x: jax.Array, beta) -> jax.Array:
@@ -212,6 +267,10 @@ class Dynamics:
         return self.lattice.kinetic_energy(v)
 
     def hamiltonian(self, state: State) -> jax.Array:
+        """Total energy; SU(3) computes through the SoA engine."""
+        if self.group == "SU3":
+            return self._hamiltonian_internal(
+                self._x_to_soa(state.x), self._x_to_soa(state.v), state.beta)
         return self.kinetic_energy(state.v) + self.potential(state.x, state.beta)
 
     def random_x(self, key: jax.Array, nchains: Optional[int] = None) -> jax.Array:
@@ -232,17 +291,23 @@ class Dynamics:
         return x.reshape(x.shape[0], -1)
 
     def _call_vnet(self, vnet, x, force, training, dkey):
-        """(x, F) -> (s, t, q) (dynamics.py:1142-1159)."""
+        """(x, F) -> (s, t, q) (dynamics.py:1142-1159).
+
+        SU(3) inputs arrive as SoA M3 fields; the 8-coordinate rep
+        (group_to_vec = projectSU then Gell-Mann coords, matching
+        group/su3/pytorch/group.py:138-147) is computed in SoA and
+        flattened chain-first for the GEMMs."""
         if self.group == "U1":
             xin = self._flatten(x)
             fin = self._flatten(force)
         else:
-            xin = self._flatten(su3g.group_to_vec(x))
-            fin = self._flatten(su3g.group_to_vec(force))
+            xin = self._vec_flatten(soa.group_to_vec(x))
+            fin = self._vec_flatten(soa.group_to_vec(force))
         return net.apply_leapfrog_layer(
             vnet, xin.astype(self.real_dtype), fin.astype(self.real_dtype),
             cfg=self.network_config, net_weight=self.net_weights.v,
             training=training, dropout_key=dkey,
+            compute_dtype=self.net_compute_dtype,
         )
 
     def _call_xnet(self, xnet, xm, v, training, dkey):
@@ -258,6 +323,7 @@ class Dynamics:
             training=training, dropout_key=dkey,
             conv=self.conv, conv_channels=self.conv_channels,
             conv_hw=self.conv_hw,
+            compute_dtype=self.net_compute_dtype,
         )
 
     def _reshape_as_v(self, a: jax.Array, v: jax.Array) -> jax.Array:
@@ -343,16 +409,41 @@ class Dynamics:
         xf = u1g.compat_proj(xf)
         return xf, logdet
 
-    def _update_x_su3(self, state: State, m, eps, direction: int):
-        """SU(3) x update: masked gauge drift, zero logdet
+    def _update_v_su3(self, vnet, x: "soa.M3", v: "soa.M3",
+                      force: "soa.M3", eps, direction: int, training, dkey):
+        """SoA SU(3) v update — same equations as _update_v
+        (dynamics.py:1266-1297): s, t, q are real per-entry fields."""
+        s, t, q = self._call_vnet(vnet, x, force, training, dkey)
+        jac = 0.5 * eps * s
+        logjac = jac if direction > 0 else -jac
+        logdet = jnp.sum(logjac, axis=1)
+        exp_s = self._stq_to_soa(jnp.exp(logjac))
+        exp_q = self._stq_to_soa(jnp.exp(eps * q))
+        t_ = self._stq_to_soa(t)
+        fn_re = force.re * exp_q + t_
+        fn_im = force.im * exp_q
+        if direction > 0:
+            vf = soa.M3(exp_s * v.re - 0.5 * eps * fn_re,
+                        exp_s * v.im - 0.5 * eps * fn_im)
+        else:
+            vf = soa.M3(exp_s * (v.re + 0.5 * eps * fn_re),
+                        exp_s * (v.im + 0.5 * eps * fn_im))
+        return vf, logdet
+
+    def _update_x_su3(self, x: "soa.M3", v: "soa.M3", m, eps,
+                      direction: int):
+        """SU(3) x update in SoA: masked gauge drift, zero logdet
         (dynamics.py:1420-1425, :1468-1475). The per-link mask broadcasts
         over the 3x3 block, so exp(eps v) @ (mb * x) touches exactly the
         (1-m) links and the update inverts exactly."""
-        mm = m.reshape(1, *self.config.xshape[1:-2], 1, 1)
-        mb = 1.0 - mm
-        p = (eps if direction > 0 else -eps) * state.v
-        xf = mm * state.x + su3g.update_gauge(mb * state.x, p)
-        logdet = jnp.zeros(state.x.shape[0], dtype=self.real_dtype)
+        lat = self.config.latvolume
+        mm_ = m.reshape(1, 1, 4, *lat, 1)
+        mb = 1.0 - mm_
+        sign = eps if direction > 0 else -eps
+        mbx = soa.M3(mb * x.re, mb * x.im)
+        upd = soa.update_gauge(mbx, soa.scale(v, sign))
+        xf = soa.M3(mm_ * x.re + upd.re, mm_ * x.im + upd.im)
+        logdet = jnp.zeros(x.re.shape[-1], dtype=self.real_dtype)
         return xf, logdet
 
     # ------------------------------------------------------------------
@@ -383,13 +474,13 @@ class Dynamics:
             k = jax.random.fold_in(base_key, idx * 8 + j + (4 if direction < 0 else 0))
             return k
 
-        state = State(x, v, beta)
-        v1, ld = self._update_v(vnet, state, force, eps_v, direction,
-                                training, dkey(0))
-        sumlogdet = sumlogdet + ld
-        state = State(x, v1, beta)
+        mb = 1.0 - m
         if self.group == "U1":
-            mb = 1.0 - m
+            state = State(x, v, beta)
+            v1, ld = self._update_v(vnet, state, force, eps_v, direction,
+                                    training, dkey(0))
+            sumlogdet = sumlogdet + ld
+            state = State(x, v1, beta)
             if direction > 0:
                 x1, ld = self._update_x_u1(xnet0, state, m, eps_x, direction,
                                            training, dkey(1))
@@ -407,23 +498,28 @@ class Dynamics:
                 state = State(x1, v1, beta)
                 x2, ld = self._update_x_u1(xnet0, state, m, eps_x, direction,
                                            training, dkey(2))
+            sumlogdet = sumlogdet + ld
+            force2 = self.grad_potential(x2, beta)
+            state = State(x2, v1, beta)
+            v2, ld = self._update_v(vnet, state, force2, eps_v, direction,
+                                    training, dkey(3))
         else:
-            mb = 1.0 - m
+            # SU(3): x, v, force are SoA M3 fields
+            v1, ld = self._update_v_su3(vnet, x, v, force, eps_v, direction,
+                                        training, dkey(0))
+            sumlogdet = sumlogdet + ld
             if direction > 0:
-                x1, ld = self._update_x_su3(state, m, eps_x, direction)
+                x1, ld = self._update_x_su3(x, v1, m, eps_x, direction)
                 sumlogdet = sumlogdet + ld
-                state = State(x1, v1, beta)
-                x2, ld = self._update_x_su3(state, mb, eps_x, direction)
+                x2, ld = self._update_x_su3(x1, v1, mb, eps_x, direction)
             else:
-                x1, ld = self._update_x_su3(state, mb, eps_x, direction)
+                x1, ld = self._update_x_su3(x, v1, mb, eps_x, direction)
                 sumlogdet = sumlogdet + ld
-                state = State(x1, v1, beta)
-                x2, ld = self._update_x_su3(state, m, eps_x, direction)
-        sumlogdet = sumlogdet + ld
-        force2 = self.grad_potential(x2, beta)
-        state = State(x2, v1, beta)
-        v2, ld = self._update_v(vnet, state, force2, eps_v, direction,
-                                training, dkey(3))
+                x2, ld = self._update_x_su3(x1, v1, m, eps_x, direction)
+            sumlogdet = sumlogdet + ld
+            force2 = self._grad_internal(x2, beta)
+            v2, ld = self._update_v_su3(vnet, x2, v1, force2, eps_v,
+                                        direction, training, dkey(3))
         sumlogdet = sumlogdet + ld
         return (x2, v2, force2, sumlogdet, beta)
 
@@ -446,9 +542,10 @@ class Dynamics:
             xs = jax.tree_util.tree_map(lambda a: a[::-1], xs)
         return xs
 
-    def _scan_direction(self, params, masks, state: State, direction: int,
+    def _scan_direction(self, params, masks, istate, direction: int,
                         training, base_key, sumlogdet):
-        """Scan nlf leapfrog steps in one direction; returns final carry."""
+        """Scan nlf leapfrog steps in one direction over the INTERNAL
+        representation (SoA for SU(3), flat arrays for U(1))."""
         # stash shared nets for closure fallback (not traced through xs)
         self._params_vnets = (
             None if self.config.use_separate_networks else params.vnets)
@@ -458,7 +555,8 @@ class Dynamics:
             None if self.config.use_separate_networks else params.xnets_second)
 
         xs = self._make_xs(params, masks, reverse=(direction < 0))
-        force = self.grad_potential(state.x, state.beta)
+        ix, iv, beta = istate
+        force = self._grad_internal(ix, beta)
 
         # rematerialize each leapfrog step in the backward pass: storing
         # the 4-net-call residuals for 2*nlf steps costs ~5x the forward
@@ -471,17 +569,17 @@ class Dynamics:
         def body(carry, step_inputs):
             new_carry = lf_step(carry, step_inputs)
             if self.config.verbose:
-                x, v, _, sld, beta = new_carry
-                h = self.hamiltonian(State(x, v, beta))
+                x_, v_, _, sld, beta_ = new_carry
+                h = self._hamiltonian_internal(x_, v_, beta_)
                 ys = {"energy": h, "logdet": sld, "logprob": h - sld}
             else:
                 ys = None
             return new_carry, ys
 
-        carry = (state.x, state.v, force, sumlogdet, state.beta)
+        carry = (ix, iv, force, sumlogdet, beta)
         carry, ys = jax.lax.scan(body, carry, xs)
         x, v, _, sumlogdet, beta = carry
-        return State(x, v, beta), sumlogdet, ys
+        return (x, v, beta), sumlogdet, ys
 
     # ------------------------------------------------------------------
     # Transition kernels
@@ -492,11 +590,13 @@ class Dynamics:
         backward steps (dynamics.py:956-1029)."""
         base_key = key if key is not None else jax.random.PRNGKey(0)
         sld = jnp.zeros(state.x.shape[0], dtype=self.real_dtype)
-        s_f, sld, ys_f = self._scan_direction(
-            params, masks, state, +1, training, base_key, sld)
-        s_flip = State(s_f.x, -s_f.v, s_f.beta)
-        s_b, sld, ys_b = self._scan_direction(
-            params, masks, s_flip, -1, training, base_key, sld)
+        i0 = self._to_internal(state)
+        i_f, sld, ys_f = self._scan_direction(
+            params, masks, i0, +1, training, base_key, sld)
+        i_flip = self._flip_v_internal(i_f)
+        i_b, sld, ys_b = self._scan_direction(
+            params, masks, i_flip, -1, training, base_key, sld)
+        s_b = self._from_internal(i_b)
         metrics = {"sumlogdet": sld}
         if self.config.verbose and ys_f is not None:
             metrics["per_step"] = jax.tree_util.tree_map(
@@ -509,9 +609,10 @@ class Dynamics:
         base_key = key if key is not None else jax.random.PRNGKey(0)
         sld = jnp.zeros(state.x.shape[0], dtype=self.real_dtype)
         direction = +1 if forward else -1
-        s, sld, _ = self._scan_direction(
-            params, masks, state, direction, training, base_key, sld)
-        return s, sld
+        i, sld, _ = self._scan_direction(
+            params, masks, self._to_internal(state), direction, training,
+            base_key, sld)
+        return self._from_internal(i), sld
 
     def compute_accept_prob(self, state_init: State, state_prop: State,
                             sumlogdet) -> jax.Array:

@@ -87,6 +87,9 @@ def init_conv_stack(key, conv: ConvolutionConfig, in_channels: int,
             "b": jax.random.uniform(kb, (f,), dtype, -bound, bound),
         })
         c_in = f
+        # periodic pad (k-1) each side then VALID conv: H -> H + (k - 1)
+        h += ksize - 1
+        w += ksize - 1
         if (i + 1) % 2 == 0:
             h //= conv.pool[i]
             w //= conv.pool[i]
@@ -186,6 +189,7 @@ def apply_leapfrog_layer(
     conv: Optional[ConvolutionConfig] = None,
     conv_channels: int = 0,
     conv_hw: Optional[tuple[int, int]] = None,
+    compute_dtype=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """(x, v) -> (s, t, q), each (nb, out_dim).
 
@@ -193,8 +197,20 @@ def apply_leapfrog_layer(
     axis with learned affine params). NOTE: unlike torch BN there are no
     running averages — eval uses batch stats too. The reference trains with
     BN in batch-stats mode as well; only its eval-time behavior differs.
+
+    compute_dtype (e.g. jnp.bfloat16) runs the GEMM stack in reduced
+    precision (params stay f32 in the optimizer; casts are folded by XLA —
+    the mixed-precision analogue of the reference's fp16 autocast,
+    trainers/pytorch/trainer.py:211-219). Outputs are cast back to the
+    input dtype.
     """
     act = ACTIVATIONS[cfg.activation_fn]
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype), params)
+        x = x.astype(compute_dtype)
+        v = v.astype(compute_dtype)
     if "conv" in params:
         x = apply_conv_stack(params["conv"], x, act, conv, conv_channels,
                              conv_hw)
@@ -213,6 +229,10 @@ def apply_leapfrog_layer(
     s = net_weight.s * _scaled_tanh(params["scale"], z)
     t = net_weight.t * _linear(params["transl"], z)
     q = net_weight.q * _scaled_tanh(params["transf"], z)
+    if compute_dtype is not None:
+        s = s.astype(out_dtype)
+        t = t.astype(out_dtype)
+        q = q.astype(out_dtype)
     return s, t, q
 
 

@@ -171,6 +171,105 @@ def kinetic_energy(v: M3, chain_axis: int = -1) -> jax.Array:
     return 0.5 * jnp.sum(n, axis=axes)
 
 
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def det3x3(x: M3) -> tuple[jax.Array, jax.Array]:
+    """Complex determinant via cofactor expansion -> (re, im)."""
+    def minor(i0, i1, j0, j1):
+        p0r, p0i = _cmul(x.re[i0, j0], x.im[i0, j0],
+                         x.re[i1, j1], x.im[i1, j1])
+        p1r, p1i = _cmul(x.re[i0, j1], x.im[i0, j1],
+                         x.re[i1, j0], x.im[i1, j0])
+        return p0r - p1r, p0i - p1i
+    m0r, m0i = minor(1, 2, 1, 2)
+    m1r, m1i = minor(1, 2, 0, 2)
+    m2r, m2i = minor(1, 2, 0, 1)
+    t0r, t0i = _cmul(x.re[0, 0], x.im[0, 0], m0r, m0i)
+    t1r, t1i = _cmul(x.re[0, 1], x.im[0, 1], m1r, m1i)
+    t2r, t2i = _cmul(x.re[0, 2], x.im[0, 2], m2r, m2i)
+    return t0r - t1r + t2r, t0i - t1i + t2i
+
+
+def rsqrtPHM3(t: M3) -> M3:
+    """(hermitian positive t)^{-1/2} via the closed-form char-poly route
+    (ops/su3.rsqrtPHM3 in SoA)."""
+    from l2hmc_tpu.ops.su3 import _rsqrtPHM3f
+    tr = t.re[0, 0] + t.re[1, 1] + t.re[2, 2]
+    t2 = mm(t, t)
+    p2 = t2.re[0, 0] + t2.re[1, 1] + t2.re[2, 2]
+    det_re, _ = det3x3(t)
+    c0, c1, c2 = _rsqrtPHM3f(tr, p2, det_re)
+    re = c1 * t.re + c2 * t2.re
+    im = c1 * t.im + c2 * t2.im
+    idx = jnp.arange(3)
+    re = re.at[idx, idx].add(c0)
+    return M3(re, im)
+
+
+def projectSU(x: M3) -> M3:
+    """Polar projection + det-phase fix (ops/su3.projectSU in SoA)."""
+    t = mm(x, x, adj_a=True)
+    m = mm(x, rsqrtPHM3(t))
+    dre, dim = det3x3(m)
+    p = jnp.arctan2(dim, dre) / (-3.0)
+    cr, ci = jnp.cos(p), jnp.sin(p)
+    re = m.re * cr - m.im * ci
+    im = m.re * ci + m.im * cr
+    return M3(re, im)
+
+
+def su3_to_vec(x: M3) -> jax.Array:
+    """TAH (or projected) matrix -> 8 real Gell-Mann coords, stacked on a
+    NEW leading axis: (8, *batch) (ops/su3.su3_to_vec in SoA)."""
+    c = -2.0
+    return jnp.stack([
+        c * x.im[0, 1],
+        c * x.re[0, 1],
+        x.im[1, 1] - x.im[0, 0],
+        c * x.im[0, 2],
+        c * x.re[0, 2],
+        c * x.im[1, 2],
+        c * x.re[1, 2],
+        SQRT1BY3 * (2.0 * x.im[2, 2] - x.im[1, 1] - x.im[0, 0]),
+    ])
+
+
+def group_to_vec(x: M3) -> jax.Array:
+    """projectSU then coords — matches ops/su3.group_to_vec."""
+    return su3_to_vec(projectSU(x))
+
+
+def random_momentum(key: jax.Array, batch, dtype=jnp.float32) -> M3:
+    """Gaussian TAH momenta directly in SoA layout (same normalization as
+    ops/su3.random_momentum)."""
+    import math as _math
+    s2 = _math.sqrt(0.5)
+    ks = jax.random.split(key, 8)
+    n = lambda k, sc: sc * jax.random.normal(k, tuple(batch), dtype=dtype)
+    r3 = n(ks[0], s2)
+    r8 = n(ks[1], s2 * SQRT1BY3)
+    r01 = n(ks[2], s2)
+    r02 = n(ks[3], s2)
+    r12 = n(ks[4], s2)
+    i01 = n(ks[5], s2)
+    i02 = n(ks[6], s2)
+    i12 = n(ks[7], s2)
+    zero = jnp.zeros_like(r3)
+    re = jnp.stack([
+        jnp.stack([zero, r01, r02]),
+        jnp.stack([-r01, zero, r12]),
+        jnp.stack([-r02, -r12, zero]),
+    ])
+    im = jnp.stack([
+        jnp.stack([r8 + r3, i01, i02]),
+        jnp.stack([i01, r8 - r3, i12]),
+        jnp.stack([i02, i12, -2.0 * r8]),
+    ])
+    return M3(re, im)
+
+
 # ---------------------------------------------------------------------------
 # Lattice fields: batch = (d, t, x, y, z, nb)
 # ---------------------------------------------------------------------------

@@ -64,9 +64,10 @@ class Trainer:
                 raise RuntimeError(
                     "SU(3) at float64 precision requires jax_enable_x64 "
                     "(set it before creating arrays, or use precision=f32)")
+        net_cd = jnp.bfloat16 if cfg.precision == "bfloat16" else None
         self.dynamics = Dynamics(
             cfg.dynamics, cfg.network, cfg.net_weights, cfg.conv,
-            dtype=self.dtype,
+            dtype=self.dtype, net_compute_dtype=net_cd,
         )
         self.lattice = self.dynamics.lattice
         self.loss_fn = LatticeLoss(self.lattice, cfg.loss)

@@ -61,11 +61,12 @@ def test_su3_reversibility():
     """Per-link masks make the SU(3) kernel exactly reversible (unlike the
     reference's per-entry masks)."""
     dyn, params, masks = make_su3_dynamics()
-    x = dyn.random_x(jax.random.PRNGKey(4))
-    v = dyn.random_v(jax.random.PRNGKey(5), x)
+    x = jax.jit(dyn.random_x)(jax.random.PRNGKey(4))
+    v = jax.jit(dyn.random_v)(jax.random.PRNGKey(5), x)
     state = State(x, v, jnp.asarray(1.0))
-    s_fwd, _ = dyn.transition_kernel(params, masks, state, forward=True)
-    s_back, _ = dyn.transition_kernel(params, masks, s_fwd, forward=False)
+    kern = jax.jit(dyn.transition_kernel, static_argnames="forward")
+    s_fwd, _ = kern(params, masks, state, forward=True)
+    s_back, _ = kern(params, masks, state=s_fwd, forward=False)
     assert float(jnp.max(jnp.abs(s_back.x - x))) < 1e-9
     assert float(jnp.max(jnp.abs(s_back.v - v))) < 1e-9
 
@@ -124,8 +125,8 @@ def test_hmc_energy_conservation_u1():
 
 def test_hmc_energy_conservation_su3():
     dyn, params, masks = make_su3_dynamics(lat=(2, 2, 2, 2), nchains=2)
-    x = dyn.random_x(jax.random.PRNGKey(12))
-    _, metrics = dyn.apply_transition_hmc(
+    x = jax.jit(dyn.random_x)(jax.random.PRNGKey(12))
+    _, metrics = jax.jit(dyn.apply_transition_hmc, static_argnames="nleapfrog")(
         x, 1.0, jax.random.PRNGKey(13), eps=0.005, nleapfrog=10)
     acc = np.asarray(metrics["acc"])
     assert acc.min() > 0.98
@@ -136,11 +137,11 @@ def test_hmc_eps_scaling_su3():
     eps^2 * T with T = nlf*eps fixed...). Just check bigger eps -> lower
     acceptance, confirming the force enters with the right sign/scale."""
     dyn, params, masks = make_su3_dynamics(lat=(2, 2, 2, 2), nchains=4)
-    x = dyn.random_x(jax.random.PRNGKey(14))
+    x = jax.jit(dyn.random_x)(jax.random.PRNGKey(14))
+    hmc = jax.jit(dyn.apply_transition_hmc, static_argnames="nleapfrog")
     dhs = []
     for eps in (0.01, 0.1):
-        _, m = dyn.apply_transition_hmc(
-            x, 3.0, jax.random.PRNGKey(15), eps=eps, nleapfrog=8)
+        _, m = hmc(x, 3.0, jax.random.PRNGKey(15), eps=eps, nleapfrog=8)
         mc = m["mc_states"]
         dh = dyn.hamiltonian(mc.proposed) - dyn.hamiltonian(mc.init)
         dhs.append(float(np.mean(np.abs(np.asarray(dh)))))
@@ -180,8 +181,8 @@ def test_su3_kernel_preserves_unitarity_approximately():
     masked update is not an exact group operation; drift must be small)."""
     from l2hmc_tpu.ops import su3 as g
     dyn, params, masks = make_su3_dynamics()
-    x = dyn.random_x(jax.random.PRNGKey(20))
-    xout, _ = dyn.apply_transition_fb(
+    x = jax.jit(dyn.random_x)(jax.random.PRNGKey(20))
+    xout, _ = jax.jit(dyn.apply_transition_fb)(
         params, masks, x, 1.0, jax.random.PRNGKey(21))
     _, bmax = g.checkSU(xout.reshape(xout.shape[0], -1, 3, 3))
     assert float(jnp.max(bmax)) < 0.05

@@ -83,6 +83,43 @@ def test_force_matches(xc, xs):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
 
 
+def test_det3x3(xc, xs):
+    dre, dim = soa.det3x3(xs)
+    want = np.linalg.det(np.asarray(xc)).transpose(1, 2, 3, 4, 5, 0)
+    np.testing.assert_allclose(np.asarray(dre), want.real, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dim), want.imag, atol=1e-12)
+
+
+def test_projectSU(xs):
+    # perturb off the group, project back, compare with the AoS projector
+    pert = soa.M3(xs.re + 0.05, xs.im - 0.03)
+    got = to_aos(soa.projectSU(pert))
+    want = g.projectSU(to_aos(pert))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-10)
+
+
+def test_group_to_vec(xc, xs):
+    got = soa.group_to_vec(xs)             # (8, d,t,x,y,z,nb)
+    want = g.group_to_vec(xc)              # (nb, d,t,x,y,z, 8)
+    want_t = np.moveaxis(np.moveaxis(np.asarray(want), -1, 0), 1, -1)
+    np.testing.assert_allclose(np.asarray(got), want_t, atol=1e-11)
+
+
+def test_random_momentum_soa():
+    v = soa.random_momentum(jax.random.PRNGKey(5), (4, 2, 2, 2, 4, 3),
+                            dtype=jnp.float64)
+    # TAH: anti-hermitian + traceless
+    re, im = np.asarray(v.re), np.asarray(v.im)
+    np.testing.assert_allclose(re, -re.transpose(1, 0, *range(2, re.ndim)),
+                               atol=1e-14)
+    np.testing.assert_allclose(im, im.transpose(1, 0, *range(2, im.ndim)),
+                               atol=1e-14)
+    np.testing.assert_allclose(im[0, 0] + im[1, 1] + im[2, 2], 0, atol=1e-14)
+    # normalization: E[norm2] = 8
+    n2 = float(np.mean(np.asarray(soa.norm2(v))))
+    assert abs(n2 - 8.0) < 0.2
+
+
 def test_hmc_trajectory_matches(xc, xs):
     vc = g.random_momentum(jax.random.PRNGKey(2), SHAPE, dtype=jnp.complex128)
     vs = soa.from_complex(jnp.moveaxis(vc, 0, -3))
