@@ -293,16 +293,21 @@ class Dynamics:
     def _call_vnet(self, vnet, x, force, training, dkey):
         """(x, F) -> (s, t, q) (dynamics.py:1142-1159).
 
-        SU(3) inputs arrive as SoA M3 fields; the 8-coordinate rep
-        (group_to_vec = projectSU then Gell-Mann coords, matching
-        group/su3/pytorch/group.py:138-147) is computed in SoA and
-        flattened chain-first for the GEMMs."""
+        SU(3) inputs arrive as SoA M3 fields and are mapped to 8
+        Gell-Mann coordinates per link. NOTE: the reference's group_to_vec
+        applies projectSU before extracting coords
+        (group/su3/pytorch/group.py:138-147); here the coords are read
+        directly — for x (kept exactly on the group by the per-link masked
+        update) the projection is a numerical no-op, and for the force
+        (already TAH, which su3_to_vec is defined for) the projection is
+        an ill-conditioned renormalization. Dropping it also cuts ~40% of
+        the unrolled-SoA graph (compile time)."""
         if self.group == "U1":
             xin = self._flatten(x)
             fin = self._flatten(force)
         else:
-            xin = self._vec_flatten(soa.group_to_vec(x))
-            fin = self._vec_flatten(soa.group_to_vec(force))
+            xin = self._vec_flatten(soa.su3_to_vec(x))
+            fin = self._vec_flatten(soa.su3_to_vec(force))
         return net.apply_leapfrog_layer(
             vnet, xin.astype(self.real_dtype), fin.astype(self.real_dtype),
             cfg=self.network_config, net_weight=self.net_weights.v,
@@ -441,7 +446,10 @@ class Dynamics:
         mb = 1.0 - mm_
         sign = eps if direction > 0 else -eps
         mbx = soa.M3(mb * x.re, mb * x.im)
-        upd = soa.update_gauge(mbx, soa.scale(v, sign))
+        # |eps*v|_F <= ~0.3 (sigmoid-bounded eps): order-8 plain Taylor is
+        # exact to ~1e-9 and 40% fewer unrolled matmuls than the generic
+        # expm (compile-time matters for the big SoA graphs)
+        upd = soa.mm(soa.expm(soa.scale(v, sign), order=8, s=0), mbx)
         xf = soa.M3(mm_ * x.re + upd.re, mm_ * x.im + upd.im)
         logdet = jnp.zeros(x.re.shape[-1], dtype=self.real_dtype)
         return xf, logdet
@@ -560,11 +568,12 @@ class Dynamics:
 
         # rematerialize each leapfrog step in the backward pass: storing
         # the 4-net-call residuals for 2*nlf steps costs ~5x the forward
-        # in HBM traffic; recomputing is far cheaper on TPU
-        lf_step = jax.checkpoint(
-            lambda carry, si: self._lf_step(carry, si, direction,
-                                            training, base_key),
-        )
+        # in HBM traffic on the U(1) workload; SU(3) at these volumes is
+        # not memory-bound and remat would double its (already large)
+        # unrolled-SoA compile, so only U(1) remats
+        step_fn = lambda carry, si: self._lf_step(carry, si, direction,
+                                                  training, base_key)
+        lf_step = jax.checkpoint(step_fn) if self.group == "U1" else step_fn
 
         def body(carry, step_inputs):
             new_carry = lf_step(carry, step_inputs)

@@ -19,3 +19,10 @@ import jax  # noqa: E402
 # does force the (8-virtual-device) host CPU backend.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# the unrolled-SoA SU(3) graphs are large; cache compilations across test
+# runs (first run pays, reruns are instant)
+_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
