@@ -76,10 +76,17 @@ class Experiment:
         self.trainer.timers["train"].save_and_write(self.outdir)
         return self.trainer.histories["train"]
 
-    def evaluate(self, job_type: str = "eval", nsteps: Optional[int] = None):
+    def evaluate(self, job_type: str = "eval", nsteps: Optional[int] = None,
+                 dynamic_step_size: bool = False):
+        """NOTE: the HMC baseline runs at the FIXED matched-cost step size
+        eps_hmc = 1/nleapfrog (reference configs.py:485-487) so that
+        `model_improvement` compares equal-budget samplers like the
+        reference does (its published HMC rows have acc 0.04-0.06).
+        Pass dynamic_step_size=True for a self-tuned HMC baseline."""
         ts, x = self.setup()
         self.key, k = jax.random.split(self.key)
-        self.trainer.evaluate(ts, k, job_type=job_type, nsteps=nsteps, x=x)
+        self.trainer.evaluate(ts, k, job_type=job_type, nsteps=nsteps, x=x,
+                              dynamic_step_size=dynamic_step_size)
         self.trainer.histories[job_type].save(self.outdir, job_type)
         return self.trainer.histories[job_type]
 

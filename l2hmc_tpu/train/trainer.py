@@ -365,33 +365,44 @@ class Trainer:
         history = self.histories[job_type]
         timer = self.timers[job_type]
         patience, stuck_counter = 5, 0
+        # metrics stay ON DEVICE during the loop (each host readback costs
+        # a full tunnel round trip, ~30ms here — reading every step made
+        # eval 10x slower than the compute); acc is polled only at
+        # check_interval for the stuck-chain / dynamic-eps host logic.
+        check_interval = 1 if dynamic_step_size else 10
+        buffered: list[dict] = []
+        t_loop = time.perf_counter()
         for step in range(steps):
             key, k = jax.random.split(key)
-            timer.start()
             if job_type == "eval":
                 x, metrics = self.eval_step(ts, x, beta, k)
             else:
                 x, metrics = self.hmc_step(x, beta, k, eps)
-            jax.block_until_ready(x)
-            timer.stop()
-            avgs = history.update(metrics)
-            if self.trackers is not None:
-                self.trackers.update_summaries(metrics, step, job_type)
-            if avgs.get("acc", 1.0) < 1e-5:
-                stuck_counter += 1
-                if stuck_counter >= patience:
-                    key, kx = jax.random.split(key)
-                    x = self._random_x(kx, nchains)
-                    stuck_counter = 0
-            else:
-                stuck_counter = 0
-            # dynamic HMC step size toward 66% acceptance
-            # (trainer.py:1216-1224)
-            if job_type == "hmc" and dynamic_step_size:
-                acc_avg = avgs.get("acc_mask", 1.0)
-                if acc_avg < 0.66:
-                    eps -= eps / 10.0
+            buffered.append(metrics)
+            if (step + 1) % check_interval == 0 or step == steps - 1:
+                acc_avg = float(jnp.mean(metrics["acc"]))
+                if self.trackers is not None:
+                    self.trackers.update_summaries(metrics, step, job_type)
+                if acc_avg < 1e-5:
+                    stuck_counter += 1
+                    if stuck_counter >= patience:
+                        key, kx = jax.random.split(key)
+                        x = self._random_x(kx, nchains)
+                        stuck_counter = 0
                 else:
-                    eps += eps / 10.0
-                eps = float(np.clip(eps, 1e-5, 1.0))
+                    stuck_counter = 0
+                # dynamic HMC step size toward 66% acceptance
+                # (trainer.py:1216-1224)
+                if job_type == "hmc" and dynamic_step_size:
+                    if float(jnp.mean(metrics["acc_mask"])) < 0.66:
+                        eps -= eps / 10.0
+                    else:
+                        eps += eps / 10.0
+                    eps = float(np.clip(eps, 1e-5, 1.0))
+        for metrics in buffered:
+            history.update(metrics)
+        # per-step time = (loop + deferred host conversion) / steps — the
+        # conversion is the real synchronization point on this backend
+        elapsed = time.perf_counter() - t_loop
+        timer.data.extend([elapsed / max(steps, 1)] * steps)
         return x, key, {"eps": eps}
