@@ -164,6 +164,10 @@ class Trainer:
                 xeps=jnp.zeros_like(grads.xeps),
                 veps=jnp.zeros_like(grads.veps),
             )
+        # NaN-grad guard (the reference needed loss.register_hook(
+        # nan_to_num) for SU(3) training, experiment/pytorch/
+        # experiment.py:55); free under jit
+        grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
         updates, opt_state = self.tx.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
         new_ts = TrainState(params, ts.masks, opt_state, ts.step + 1)
@@ -229,6 +233,28 @@ class Trainer:
     def hmc_step(self, x, beta, key, eps):
         return self._get_jit("hmc")(
             x, jnp.asarray(beta), key, jnp.asarray(eps, self.dynamics.real_dtype))
+
+    # ------------------------------------------------------------------
+    # Profiling (reference profile flag + Trainer.profile(),
+    # trainers/pytorch/trainer.py:861-902)
+    # ------------------------------------------------------------------
+    def profile(self, ts, x, beta, key, nsteps: int = 5,
+                outdir: str = "profile"):
+        """Run a few unlogged steps under jax.profiler.trace (view with
+        TensorBoard / xprof). Falls back to plain timed steps if the
+        backend cannot trace."""
+        from l2hmc_tpu.utils.sync import sync
+        try:
+            ctx = jax.profiler.trace(outdir)
+        except Exception:
+            ctx = None
+        import contextlib
+        with (ctx if ctx is not None else contextlib.nullcontext()):
+            for _ in range(nsteps):
+                key, k = jax.random.split(key)
+                ts, x, m = self.train_step(ts, x, beta, k)
+            sync(x)
+        return ts, x, key
 
     # ------------------------------------------------------------------
     # Warmup (trainer.py:1699-1744)
