@@ -38,11 +38,22 @@ def main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
     group = "U1"
     overrides = []
-    for a in argv:
+    config_path = None
+    it = iter(range(len(argv)))
+    skip_next = False
+    for i, a in enumerate(argv):
+        if skip_next:
+            skip_next = False
+            continue
         if a.startswith("group="):
             group = a.split("=", 1)[1].upper()
         elif a == "mode=debug":
             overrides.extend(DEBUG_OVERRIDES)
+        elif a == "--config":
+            config_path = argv[i + 1]
+            skip_next = True
+        elif a.startswith("--config="):
+            config_path = a.split("=", 1)[1]
         elif a.startswith("--"):
             continue
         else:
@@ -56,8 +67,17 @@ def main(argv=None):
         import jax
         jax.config.update("jax_enable_x64", True)
 
-    from l2hmc_tpu.experiment import build_experiment
-    ex = build_experiment(overrides, group=group)
+    if config_path is not None:
+        from l2hmc_tpu.configs import load_yaml
+        from l2hmc_tpu.experiment import Experiment
+        cfg = load_yaml(config_path)
+        if cfg.dynamics.group == "SU3" and cfg.precision == "float64":
+            import jax
+            jax.config.update("jax_enable_x64", True)
+        ex = Experiment(cfg)
+    else:
+        from l2hmc_tpu.experiment import build_experiment
+        ex = build_experiment(overrides, group=group)
     summary = ex.run()
     print(summary)
     return 0

@@ -1,0 +1,51 @@
+"""CLI + YAML config tests."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from l2hmc_tpu.configs import load_yaml, get_config
+
+
+def test_load_yaml_configs():
+    for name in ("u1_default", "su3_4x4", "debug"):
+        cfg = load_yaml(f"l2hmc_tpu/conf/{name}.yaml")
+        assert cfg.dynamics.nchains > 0
+        assert cfg.steps.nera >= 1
+
+
+def test_override_parsing():
+    cfg = get_config([
+        "dynamics.nchains=32",
+        "dynamics.latvolume=[4, 4]",
+        "network.units=[8, 8]",
+        "loss.use_mixed_loss=false",
+        "annealing_schedule.beta_final=5.5",
+    ])
+    assert cfg.dynamics.nchains == 32
+    assert list(cfg.dynamics.latvolume) == [4, 4]
+    assert list(cfg.network.units) == [8, 8]
+    assert cfg.loss.use_mixed_loss is False
+    assert cfg.annealing_schedule.beta_final == 5.5
+
+
+def test_cli_debug_run(tmp_path):
+    """python -m l2hmc_tpu mode=debug end-to-end in a subprocess (CPU)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = ""
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "from l2hmc_tpu.__main__ import main;"
+        f"main(['mode=debug', 'steps.nera=1', 'steps.nepoch=2',"
+        f" 'steps.test=2', 'dynamics.nchains=8',"
+        f" 'dynamics.latvolume=[4, 4]', 'dynamics.nleapfrog=2',"
+        f" 'network.units=[8]', 'save=false', 'restore=false',"
+        f" 'outdir={tmp_path}/cli'])"
+    )
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=900,
+                       cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(f"{tmp_path}/cli/summary.json")
