@@ -88,6 +88,11 @@ class Experiment:
         self.trainer.evaluate(ts, k, job_type=job_type, nsteps=nsteps, x=x,
                               dynamic_step_size=dynamic_step_size)
         self.trainer.histories[job_type].save(self.outdir, job_type)
+        rates = self.trainer.timers[job_type].get_eval_rate()
+        os.makedirs(self.outdir, exist_ok=True)
+        with open(os.path.join(self.outdir, f"{job_type}_timer.json"),
+                  "w") as f:
+            json.dump(rates, f)
         return self.trainer.histories[job_type]
 
     def measure_improvement(self) -> float:
