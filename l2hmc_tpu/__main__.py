@@ -39,7 +39,6 @@ def main(argv=None):
     group = "U1"
     overrides = []
     config_path = None
-    it = iter(range(len(argv)))
     skip_next = False
     for i, a in enumerate(argv):
         if skip_next:

@@ -8,7 +8,6 @@ implemented as plain dataclasses + YAML loading (Hydra optional, not required).
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field, asdict
 from typing import Any, Optional, Sequence
 

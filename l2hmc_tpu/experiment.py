@@ -21,7 +21,6 @@ from l2hmc_tpu.configs import ExperimentConfig, get_config
 from l2hmc_tpu.parallel import mesh as pmesh
 from l2hmc_tpu.train.trainer import Trainer, TrainState
 from l2hmc_tpu.utils import checkpoint as ckpt
-from l2hmc_tpu.utils.history import grab
 
 import logging
 

@@ -12,7 +12,7 @@ pure elementwise trig + rolls, which XLA fuses into a handful of kernels.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ matmul component, which XLA fuses into bandwidth-saturating kernels.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -18,7 +18,6 @@ compose (|shift| applications) but are not needed here.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -15,8 +15,6 @@ rank (reference configs.py:496-518) — so this module is the genuine
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -12,8 +12,6 @@ hyperparameters, exactly like the reference
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from l2hmc_tpu.configs import AnnealingSchedule, LearningRateConfig

@@ -17,8 +17,6 @@ communication code.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax

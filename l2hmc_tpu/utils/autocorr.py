@@ -11,8 +11,6 @@ module adds the standard estimators:
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 
