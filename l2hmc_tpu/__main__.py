@@ -58,11 +58,17 @@ def main(argv=None):
         else:
             overrides.append(a)
 
-    # x64 must flip before any array is created
-    want_x64 = group == "SU3" and not any(
-        o.startswith("precision=") and "32" in o for o in overrides
-    )
-    if want_x64 or any(o == "precision=float64" for o in overrides):
+    # x64 must flip before any array is created. Normalize the requested
+    # precision through the synonym table so e.g. precision=single/half/
+    # bf16 correctly keeps x64 off (ADVICE r1: the old '32'-substring
+    # heuristic enabled x64 for any non-'32' spelling).
+    from l2hmc_tpu.configs import PRECISIONS
+    prec = None
+    for o in overrides:
+        if o.startswith("precision="):
+            prec = PRECISIONS.get(o.split("=", 1)[1].lower(), "float32")
+    want_x64 = prec == "float64" or (group == "SU3" and prec is None)
+    if want_x64:
         import jax
         jax.config.update("jax_enable_x64", True)
 

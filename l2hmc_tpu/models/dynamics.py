@@ -417,7 +417,19 @@ class Dynamics:
     def _update_v_su3(self, vnet, x: "soa.M3", v: "soa.M3",
                       force: "soa.M3", eps, direction: int, training, dkey):
         """SoA SU(3) v update — same equations as _update_v
-        (dynamics.py:1266-1297): s, t, q are real per-entry fields."""
+        (dynamics.py:1266-1297): s, t, q are real per-entry fields.
+
+        Jacobian convention (ADVICE r1): sumlogdet counts eps*s/2 ONCE per
+        complex matrix entry (9 per link), exactly reproducing the
+        reference's convention (dynamics.py:1278 sums the s tensor, one
+        element per complex entry) even though exp_s scales both the real
+        and imaginary parts — the true Jacobian over the 18 real dof per
+        link would count 2x (and the entrywise scaling does not preserve
+        the TAH constraint either). This is a deliberate parity choice
+        with the reference, not an independent derivation; switching to
+        the 2x count would change trained-sampler behavior vs the
+        reference. Documented by
+        tests/test_dynamics.py::test_su3_sumlogdet_convention."""
         s, t, q = self._call_vnet(vnet, x, force, training, dkey)
         jac = 0.5 * eps * s
         logjac = jac if direction > 0 else -jac
@@ -446,10 +458,12 @@ class Dynamics:
         mb = 1.0 - mm_
         sign = eps if direction > 0 else -eps
         mbx = soa.M3(mb * x.re, mb * x.im)
-        # |eps*v|_F <= ~0.3 (sigmoid-bounded eps): order-8 plain Taylor is
-        # exact to ~1e-9 and 40% fewer unrolled matmuls than the generic
-        # expm (compile-time matters for the big SoA graphs)
-        upd = soa.mm(soa.expm(soa.scale(v, sign), order=8, s=0), mbx)
+        # eps is trainable (sigmoid-bounded < 1) and |v|_F ~ 2.8 for
+        # thermal TAH momenta, so |eps*v|_F can reach ~2.8 if training
+        # drives eps up; two scaling-squaring halvings keep the order-8
+        # Taylor unitary to ~4e-8 over the whole reachable range
+        # (ADVICE r1: s=0 lost unitarity above |m|_F ~ 1)
+        upd = soa.mm(soa.expm(soa.scale(v, sign), order=8, s=2), mbx)
         xf = soa.M3(mm_ * x.re + upd.re, mm_ * x.im + upd.im)
         logdet = jnp.zeros(x.re.shape[-1], dtype=self.real_dtype)
         return xf, logdet

@@ -62,7 +62,10 @@ def group_to_vec(x: jax.Array) -> jax.Array:
 
 
 def vec_to_group(x: jax.Array) -> jax.Array:
-    return jnp.arctan2(x[..., -1], x[..., -2])
+    """[cos x | sin x] (concatenated halves, as produced by group_to_vec)
+    -> phase angles (group.py:91-97)."""
+    d = x.shape[-1] // 2
+    return jnp.arctan2(x[..., d:], x[..., :d])
 
 
 def random(key: jax.Array, shape, dtype=jnp.float32) -> jax.Array:

@@ -182,6 +182,14 @@ class Trainer:
             "grad_norm": optax.global_norm(grads),
         }
         out.update(self.loss_fn.lattice_metrics(mc.init.x, xout))
+        if self.cfg.dynamics.group == "SU3":
+            # unitarity drift monitor in the hot loop (ADVICE r1; the
+            # reference checks only in the standalone train4dSU3 driver,
+            # train4dSU3.py:157,191) — free under jit, logged per step
+            from l2hmc_tpu.ops import su3 as su3g
+            dev_mean, dev_max = su3g.checkSU(xout)
+            out["checkSU_mean"] = dev_mean
+            out["checkSU_max"] = dev_max
         return new_ts, xout, out
 
     def _eval_step_impl(self, ts: TrainState, x, beta, key):
@@ -341,8 +349,11 @@ class Trainer:
             # host reads are the sync points)
             era_elapsed = time.perf_counter() - t_era
             timer.data.extend([era_elapsed / max(epochs, 1)] * epochs)
+            esumm = history.era_summary(era)
             log.info(f"era {era} done in {era_elapsed:.1f}s "
-                     f"(beta={beta:.3f})")
+                     f"(beta={beta:.3f}) "
+                     + summarize_dict({k_: esumm[k_] for k_ in
+                                       ("loss", "acc") if k_ in esumm}))
             if annealer is not None and era_losses:
                 # dynamic beta adjust (trainer.py:1819-1824 +
                 # configs.py:958-988)

@@ -43,6 +43,7 @@ class History:
     def __init__(self, keys: Optional[list[str]] = None):
         self.history: dict[str, list] = {}
         self.era_metrics: dict[str, dict[str, list]] = {}
+        self._era_start: dict[str, int] = {}
 
     def update(self, metrics: dict[str, Any]) -> dict[str, float]:
         """Append one step's metrics; returns scalar (batch-averaged)
@@ -60,14 +61,21 @@ class History:
         return avgs
 
     def era_summary(self, era) -> dict[str, float]:
-        """Mean of every scalar-able metric accumulated so far in this
-        era (history.py:169)."""
+        """Mean of every scalar-able metric logged since the previous
+        era_summary call (history.py:169). Also records the summary in
+        era_metrics[era] and advances the per-key era boundary."""
         out = {}
         for key, vals in self.history.items():
+            start = self._era_start.get(key, 0)
+            sl = vals[start:]
+            if not sl:
+                continue
             try:
-                out[key] = float(np.mean([np.mean(v) for v in vals[-1:]]))
+                out[key] = float(np.mean([np.mean(v) for v in sl]))
             except (TypeError, ValueError):
-                pass
+                continue
+            self._era_start[key] = len(vals)
+        self.era_metrics[str(era)] = out
         return out
 
     def get_dataset(self) -> dict[str, np.ndarray]:

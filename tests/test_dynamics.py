@@ -212,3 +212,41 @@ def test_jit_compatibility():
     x = dyn.random_x(jax.random.PRNGKey(25))
     out = fn(params, masks, x, jnp.asarray(1.0), jax.random.PRNGKey(26))
     assert out.shape == x.shape
+
+
+def test_su3_sumlogdet_convention():
+    """ADVICE r1: the SU(3) v-update sumlogdet reproduces the REFERENCE's
+    convention — eps*s/2 counted once per complex matrix entry — while
+    the true Jacobian over the 18 real dof per link is exactly 2x that
+    (exp_s scales re and im separately; s,t,q depend only on (x, F), so
+    dv'/dv is diagonal). This test documents the factor."""
+    from l2hmc_tpu.ops import su3_soa as soa
+
+    dyn, params, masks = make_su3_dynamics(nlf=1, lat=(2, 2, 1, 1),
+                                           nchains=1)
+    x = jax.jit(dyn.random_x)(jax.random.PRNGKey(6))
+    v = jax.jit(dyn.random_v)(jax.random.PRNGKey(7), x)
+    vnet = jax.tree_util.tree_map(lambda a: a[0], params.vnets)
+    eps = jnp.asarray(0.1, jnp.float64)
+    beta = jnp.asarray(1.0, jnp.float64)
+    ix = dyn._x_to_soa(x)
+    iv = dyn._x_to_soa(v)
+    force = dyn._grad_internal(ix, beta)
+    _, logdet = dyn._update_v_su3(vnet, ix, iv, force, eps, +1, False, None)
+
+    n = iv.re.size
+
+    def vmap_flat(v_flat):
+        vr = v_flat[:n].reshape(iv.re.shape)
+        vi = v_flat[n:].reshape(iv.im.shape)
+        out = dyn._update_v_su3(
+            vnet, ix, soa.M3(vr, vi), force, eps, +1, False, None)[0]
+        return jnp.concatenate([out.re.ravel(), out.im.ravel()])
+
+    vflat = jnp.concatenate([iv.re.ravel(), iv.im.ravel()])
+    jac = jax.jacfwd(vmap_flat)(vflat)
+    sign, true_ld = jnp.linalg.slogdet(jac)
+    assert float(sign) == 1.0
+    # single chain: reported logdet is exactly HALF the true 18-dof value
+    np.testing.assert_allclose(2.0 * float(logdet[0]), float(true_ld),
+                               rtol=1e-9)

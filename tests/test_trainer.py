@@ -75,13 +75,10 @@ def test_training_improves_loss_u1():
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
-@pytest.mark.skipif(
-    os.environ.get("L2HMC_FULL_TESTS") != "1",
-    reason="CPU XLA compile of the SU(3) SoA *training* (AD) graph takes "
-           ">1h (runtime is fine; the path is validated on TPU — see "
-           "README known issue). Set L2HMC_FULL_TESTS=1 to include.",
-)
 def test_su3_train_smoke():
+    """The SU(3) SoA training graph compiles in ~90s on CPU since the
+    einsum-mm rewrite (round 2; was >1h unrolled) — in the default suite,
+    cached across runs via tests/.jax_cache."""
     cfg = get_config([
         "dynamics.nchains=2",
         "dynamics.latvolume=[2, 2, 2, 2]",
