@@ -56,21 +56,59 @@ class Experiment:
         if self._ts is None:
             self.key, k = jax.random.split(self.key)
             self._ts, self._x = self.trainer.init_state(k)
+            self._start_era = 0
+            self._beta_init = None
             if self.cfg.restore:
-                restored = ckpt.restore_checkpoint(self.outdir, self._ts)
+                restored = ckpt.restore_checkpoint(
+                    self.outdir, ckpt.make_resume_tree(
+                        self._ts, self._x, self.key))
                 if restored is not None:
-                    log.info("restored checkpoint")
-                    self._ts = restored
+                    # full training state: continue the beta ladder where
+                    # the interrupted run stopped (reference
+                    # trainers/pytorch/trainer.py:573-701). Re-place the
+                    # restored arrays into this process's mesh layout
+                    # (orbax records the saving run's placements).
+                    self._ts = restored["ts"]
+                    self._x = restored["x"]
+                    # keep the key an UNcommitted host value: a committed
+                    # single-device key conflicts with mesh-sharded x at
+                    # jit dispatch
+                    self.key = np.asarray(restored["key"])
+                    if self.mesh is not None:
+                        self._ts = pmesh.replicate(self.mesh, self._ts)
+                        self._x = pmesh.shard_chains(self.mesh, self._x)
+                    self._start_era = int(restored["era"]) + 1
+                    self._beta_init = float(restored["beta"])
+                    hpath = os.path.join(self.outdir, "train_history.npz")
+                    if os.path.exists(hpath):
+                        self.trainer.histories["train"].load(hpath)
+                    log.info(
+                        f"restored checkpoint: resuming at era "
+                        f"{self._start_era} (beta={self._beta_init:.3f})")
         return self._ts, self._x
 
-    def train(self):
+    def _era_checkpoint(self, era, ts, x, key, beta):
+        """Per-era durable state (reference saves per era,
+        trainer.py:1826-1829)."""
+        if not self.cfg.save:
+            return
+        tree = ckpt.make_resume_tree(ts, x, key, era=era, beta=beta)
+        ckpt.save_checkpoint(self.outdir, int(ts.step), tree)
+        ckpt.save_eps_txt(self.outdir, ts.params)
+        self.trainer.histories["train"].save(self.outdir, "train")
+
+    def train(self, max_eras=None):
         ts, x = self.setup()
-        self.key, k = jax.random.split(self.key)
-        ts, x, _ = self.trainer.train(ts, x, k)
+        if self._start_era == 0:
+            self.key, k = jax.random.split(self.key)
+        else:
+            k = self.key   # restored mid-ladder key continues verbatim
+        ts, x, k_out = self.trainer.train(
+            ts, x, k, start_era=self._start_era,
+            beta_init=self._beta_init, max_eras=max_eras,
+            era_callback=self._era_checkpoint)
         self._ts, self._x = ts, x
-        if self.cfg.save:
-            ckpt.save_checkpoint(self.outdir, int(ts.step), ts)
-            ckpt.save_eps_txt(self.outdir, ts.params)
+        self.key = k_out
         self.trainer.histories["train"].save(self.outdir, "train")
         self.trainer.timers["train"].save_and_write(self.outdir)
         return self.trainer.histories["train"]

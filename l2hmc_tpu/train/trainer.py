@@ -286,7 +286,17 @@ class Trainer:
     # Train loop (trainer.py:1746-1838, train_epoch :1478-1637)
     # ------------------------------------------------------------------
     def train(self, ts: TrainState, x, key, nera=None, nepoch=None,
-              console_interval: Optional[int] = None):
+              console_interval: Optional[int] = None, start_era: int = 0,
+              max_eras: Optional[int] = None, era_callback=None,
+              beta_init: Optional[float] = None):
+        """Era/epoch loop (trainer.py:1746-1838).
+
+        start_era/beta_init resume a run mid-ladder (restored from a
+        checkpoint); max_eras bounds how many eras THIS call executes
+        (for interruption tests / incremental training); era_callback
+        (era, ts, x, key, beta) fires after each era — the Experiment
+        uses it for per-era checkpoints (reference trainer.py:1826-1829).
+        """
         steps = self.cfg.steps
         nera = nera if nera is not None else steps.nera
         nepoch = nepoch if nepoch is not None else steps.nepoch
@@ -301,15 +311,20 @@ class Trainer:
             from l2hmc_tpu.train.annealing import Annealer
             annealer = Annealer(self.schedule,
                                 patience=self.cfg.learning_rate.patience)
-        beta = self.schedule.beta_for_era(0, nera)
+        beta = (beta_init if beta_init is not None
+                else self.schedule.beta_for_era(start_era, nera))
+        end_era = nera if max_eras is None else min(nera,
+                                                    start_era + max_eras)
 
-        for era in range(nera):
+        for era in range(start_era, end_era):
             if annealer is None:
                 beta = self.schedule.beta_for_era(era, nera)
             era_losses: list[float] = []
             key, kw = jax.random.split(key)
-            if era == 0:
-                x, _ = self.warmup(x, beta, kw, nsteps=20)
+            # re-thermalize at EVERY era's new beta (the reference warms
+            # up per era, trainer.py:1788 -> 1699-1744; round 1 only
+            # warmed at era 0, training later eras off-equilibrium)
+            x, _ = self.warmup(x, beta, kw, nsteps=20 if era == 0 else 10)
             epochs = nepoch
             if era == nera - 1 and steps.extend_last_era:
                 epochs = nepoch * int(steps.extend_last_era)
@@ -361,6 +376,8 @@ class Trainer:
             if self._plateau is not None and era_losses:
                 new_lr = self._plateau.update(float(np.min(era_losses)))
                 ts = self._set_lr(ts, new_lr)
+            if era_callback is not None:
+                era_callback(era, ts, x, key, float(beta))
         return ts, x, key
 
     def _set_lr(self, ts: TrainState, lr: float) -> TrainState:

@@ -39,13 +39,37 @@ def latest_checkpoint(outdir: str) -> Optional[str]:
 
 def restore_checkpoint(outdir: str, example: Any) -> Optional[Any]:
     """Restore the latest checkpoint, shaped like `example` (the
-    reference's restore-latest-by-mtime, trainer.py:616-701)."""
+    reference's restore-latest-by-mtime, trainer.py:616-701). Returns
+    None when no checkpoint exists or its tree does not match (e.g. a
+    pre-resume-format checkpoint)."""
     import orbax.checkpoint as ocp
     path = latest_checkpoint(outdir)
     if path is None:
         return None
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(path, args=ocp.args.PyTreeRestore(item=example))
+    try:
+        return ckptr.restore(path, args=ocp.args.PyTreeRestore(item=example))
+    except Exception as e:  # incompatible layout -> start fresh
+        import logging
+        logging.getLogger(__name__).warning(
+            f"checkpoint at {path} not restorable ({e}); starting fresh")
+        return None
+
+
+def make_resume_tree(ts: Any, x: Any, key: Any, era: int = 0,
+                     beta: float = 0.0) -> dict:
+    """Full resumable training state: {era, beta ladder position, lattice,
+    PRNG key, TrainState} — the reference's per-era tar checkpoint
+    {era, epoch, xeps, veps, gstep, model, optimizer}
+    (trainers/pytorch/trainer.py:573-614) plus x/key, which it omits
+    (its resumed runs restart the lattice and RNG)."""
+    return {
+        "ts": ts,
+        "x": x,
+        "key": key,
+        "era": np.int64(era),
+        "beta": np.float64(beta),
+    }
 
 
 def save_eps_txt(outdir: str, params) -> None:

@@ -112,6 +112,22 @@ class History:
             dset[key] = xr.DataArray(arr, dims=dims)
         return xr.Dataset(dset)
 
+    def load(self, path: str) -> None:
+        """Restore accumulated series from a `save`d npz (inverse of
+        get_dataset's stacking) so a resumed run appends to its history
+        rather than restarting it."""
+        data = np.load(path)
+        for key in data.files:
+            arr = data[key]
+            if arr.ndim == 1:          # (draw,)
+                steps = [arr[i] for i in range(arr.shape[0])]
+            elif arr.ndim == 2:        # (chain, draw)
+                steps = [arr[:, i] for i in range(arr.shape[1])]
+            else:                      # (chain, nlf, draw)
+                steps = [arr[:, :, i].T for i in range(arr.shape[2])]
+            self.history[key] = steps
+            self._era_start[key] = len(steps)
+
     def save(self, outdir: str, job_type: str = "train") -> str:
         """npz + summary json; h5 via xarray/h5netcdf when available
         (reference common.py:240-291 h5/netCDF export)."""

@@ -1,0 +1,120 @@
+"""Lattice-sharded SU(3) L2HMC training vs the single-device trainer.
+
+The 2-D (data x lattice) mesh run must reproduce the single-device
+Dynamics/Trainer bit-for-bit (same params, same RNG consumption): the
+tensor-parallel net slicing, halo-exchange force, psum'd Hamiltonians
+and reassembled gradients are all exact rearrangements of the same
+arithmetic. Runs on the virtual 8-device CPU mesh (conftest)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from l2hmc_tpu.configs import get_config
+from l2hmc_tpu.parallel.lattice_sharded import make_mesh_2d
+from l2hmc_tpu.parallel.sharded_train import ShardedTrainerSU3
+from l2hmc_tpu.train.trainer import Trainer
+
+
+def su3_cfg(nchains=4, lat=(4, 2, 2, 2), nlf=2):
+    return get_config([
+        f"dynamics.nchains={nchains}",
+        f"dynamics.latvolume={list(lat)}",
+        f"dynamics.nleapfrog={nlf}",
+        "dynamics.eps=0.05",
+        "network.units=[6]",
+        "network.use_batch_norm=false",
+        "network.dropout_prob=0.0",
+        "loss.use_mixed_loss=true",
+        "steps.nera=1", "steps.nepoch=1",
+    ], group="SU3")
+
+
+@pytest.fixture(scope="module")
+def pair():
+    cfg = su3_cfg()
+    mesh = make_mesh_2d(2, 2)
+    sh = ShardedTrainerSU3(cfg, mesh)
+    single = Trainer(cfg)
+    key = jax.random.PRNGKey(42)
+    ts_s, x_s = single.init_state(key)
+    ts_m, x_m = sh.init_state(key)
+    # identical initial params and lattice
+    np.testing.assert_array_equal(np.asarray(ts_s.params.xeps),
+                                  np.asarray(ts_m.params.xeps))
+    np.testing.assert_array_equal(np.asarray(x_s), np.asarray(x_m))
+    return cfg, single, sh, ts_s, x_s, ts_m, x_m
+
+
+def test_train_step_matches_single_device(pair):
+    cfg, single, sh, ts_s, x_s, ts_m, x_m = pair
+    beta = 6.0
+    k = jax.random.PRNGKey(7)
+    ts_s2, xs2, ms = single.train_step(ts_s, x_s, beta, k)
+    ts_m2, xm2, mm = sh.train_step(ts_m, x_m, beta, k)
+    np.testing.assert_allclose(float(ms["loss"]), float(mm["loss"]),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(ms["acc"]), np.asarray(mm["acc"]),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(xs2), np.asarray(xm2), atol=1e-10)
+    # optimizer applied near-identically; Adam's rsqrt amplifies the
+    # psum-vs-serial summation-order difference in near-zero grads to
+    # ~1e-7 on a few weights, so the weight check is not bitwise
+    np.testing.assert_allclose(np.asarray(ts_s2.params.xeps),
+                               np.asarray(ts_m2.params.xeps), atol=1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(ts_s2.params.vnets),
+                    jax.tree_util.tree_leaves(ts_m2.params.vnets)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_multi_step_training_stays_in_sync(pair):
+    cfg, single, sh, ts_s, x_s, ts_m, x_m = pair
+    beta = 6.0
+    key = jax.random.PRNGKey(11)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        ts_s, x_s, ms = single.train_step(ts_s, x_s, beta, k)
+        ts_m, x_m, mm = sh.train_step(ts_m, x_m, beta, k)
+    # parameter differences of ~1e-7/step (Adam summation order) feed
+    # back into the (chaotic) trajectories, so multi-step sync is loose
+    np.testing.assert_allclose(np.asarray(x_s), np.asarray(x_m), atol=1e-4)
+    np.testing.assert_allclose(float(ms["loss"]), float(mm["loss"]),
+                               rtol=1e-4)
+
+
+def test_eval_step_matches_single_device(pair):
+    cfg, single, sh, ts_s, x_s, ts_m, x_m = pair
+    k = jax.random.PRNGKey(13)
+    xs2, ms = single.eval_step(ts_s, x_s, 6.0, k)
+    xm2, mm = sh.eval_step(ts_m, x_m, 6.0, k)
+    np.testing.assert_allclose(np.asarray(ms["acc"]), np.asarray(mm["acc"]),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(xs2), np.asarray(xm2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ms["plaqs"]),
+                               np.asarray(mm["plaqs"]), rtol=1e-10)
+
+
+def test_x_actually_sharded(pair):
+    cfg, single, sh, ts_s, x_s, ts_m, x_m = pair
+    assert len(x_m.sharding.device_set) == 4
+    # each device holds nb/2 chains and t/2 slab
+    shard = x_m.addressable_shards[0]
+    assert shard.data.shape[0] == cfg.dynamics.nchains // 2
+    assert shard.data.shape[2] == cfg.dynamics.latvolume[0] // 2
+
+
+def test_lattice_only_mesh_1x4():
+    """Pure domain decomposition (all chains on every device)."""
+    cfg = su3_cfg(nchains=2, lat=(4, 2, 2, 2))
+    mesh = make_mesh_2d(1, 4)
+    sh = ShardedTrainerSU3(cfg, mesh)
+    single = Trainer(cfg)
+    key = jax.random.PRNGKey(3)
+    ts_s, x_s = single.init_state(key)
+    ts_m, x_m = sh.init_state(key)
+    k = jax.random.PRNGKey(5)
+    _, xs2, ms = single.train_step(ts_s, x_s, 6.0, k)
+    _, xm2, mm = sh.train_step(ts_m, x_m, 6.0, k)
+    np.testing.assert_allclose(float(ms["loss"]), float(mm["loss"]),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(xs2), np.asarray(xm2), atol=1e-10)
