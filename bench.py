@@ -3,20 +3,30 @@
 Methodology note: on the axon TPU backend `jax.block_until_ready` does NOT
 block (it returns before execution finishes), so naive timing measures
 dispatch only. This benchmark therefore (a) folds K steps into one jitted
-`lax.scan` so per-step cost is amortized on-device, and (b) synchronizes
-with an actual device->host scalar readback (l2hmc_tpu.utils.sync), and
+`lax.scan` so per-step cost is amortized on-device, (b) synchronizes with
+an actual device->host scalar readback (l2hmc_tpu.utils.sync), and
 (c) subtracts the measured readback round trip.
 
 Primary metric: 4D SU(3) leapfrog MD steps/sec/chip (BASELINE.json) on
 the HMC kernel (staple force + Taylor expm drift, complex64 — TPU has no
-complex128) at 4^4 x 8 chains, cold start. vs_baseline = ratio to the
-PyTorch-CPU reference-math baseline measured on this machine by
-benchmarks/torch_su3_baseline.py (14.85 MD steps/s at the same config in
-the reference's complex128; north-star target >= 10x).
+complex128) at 4^4 x 8 chains, THERMALIZED before timing (200 MD steps)
+so the reported acceptance is a real equilibrium number.
+vs_baseline = ratio to the PyTorch-CPU reference-math baseline measured
+on this machine by benchmarks/torch_su3_baseline.py (14.85 MD steps/s at
+the same config in the reference's complex128; north-star >= 10x).
+
+Utilization (VERDICT r1 #4): achieved GFLOP/s uses an ANALYTIC flop
+count (92 color-matmuls/site/MD-step x 216 flops — XLA cost analysis
+does not unroll the scan on this backend and under-reports ~200x);
+HBM GB/s uses the executable's "bytes accessed" where available. Peaks
+used for %: v5e ~197e3 GFLOP/s bf16 MXU (the kernel is f32 VPU work, so
+MXU-% is an upper bound on how far the FLOP path could go) and ~819
+GB/s HBM. See "bound" per row for which roof (if any) binds.
 
 `python bench.py --u1` reports 2D U(1) *training* throughput against the
 reference's published A100 number (BASELINE.md: ~0.093 s/step at 2048
 chains, 16x16, nlf=4 merged => ~1.76e5 chain-lf-evals/s).
+`python bench.py --rows` adds the secondary SU(3) rows (128 chains, 8^4).
 """
 import json
 import sys
@@ -27,6 +37,8 @@ import jax.numpy as jnp
 
 TORCH_CPU_SU3_MD_STEPS_PER_SEC = 14.853   # benchmarks/torch_su3_baseline.py
 A100_U1_EVALS_PER_SEC = 2048 * 8 / 0.093  # BASELINE.md ~1.76e5
+V5E_PEAK_BF16_GFLOPS = 197_000.0
+V5E_PEAK_HBM_GBPS = 819.0
 
 
 def _roundtrip():
@@ -39,12 +51,25 @@ def _roundtrip():
     return (time.perf_counter() - t0) / 5
 
 
-def bench_su3():
+def _cost(compiled):
+    """(flops, bytes) of a compiled executable via XLA cost analysis;
+    (None, None) if the backend cannot report it."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None, \
+            float(ca.get("bytes accessed", 0.0)) or None
+    except Exception:
+        return None, None
+
+
+def bench_su3_at(nchains: int, L: int, K: int = 50, nlf_half: int = 5,
+                 eps0: float = 0.01):
     from l2hmc_tpu.configs import get_config
     from l2hmc_tpu.train.trainer import Trainer
     from l2hmc_tpu.utils.sync import sync
 
-    nchains, L, nlf_half = 8, 4, 5
     nlf = 2 * nlf_half  # merge_directions
     cfg = get_config([
         f"dynamics.nchains={nchains}",
@@ -55,15 +80,12 @@ def bench_su3():
         "steps.nera=1", "steps.nepoch=1", "steps.test=1",
     ], group="SU3")
     trainer = Trainer(cfg)
-    ts, _ = trainer.init_state(jax.random.PRNGKey(0))
     shape = (nchains, 4, L, L, L, L, 3, 3)
     x = jnp.broadcast_to(jnp.eye(3, dtype=jnp.complex64), shape)
     beta = jnp.float32(6.0)
-    eps = jnp.float32(0.01)
-    K = 50
+    eps = jnp.float32(eps0)
 
-    @jax.jit
-    def multi(x, key):
+    def multi_fn(x, key):
         def body(carry, k):
             x, _ = carry
             x2, m = trainer._hmc_step_impl(x, beta, k, eps)
@@ -72,7 +94,19 @@ def bench_su3():
         (x, acc), _ = jax.lax.scan(body, (x, jnp.float32(0)), keys)
         return x, acc
 
-    x, acc = multi(x, jax.random.PRNGKey(1))   # thermalize + compile
+    multi = jax.jit(multi_fn)
+    compiled = multi.lower(x, jax.random.PRNGKey(1)).compile()
+    _, nbytes = _cost(compiled)
+    # analytic FLOPs per MD step (XLA cost analysis does not unroll the
+    # scan on this backend — it under-reports ~200x): per site,
+    # force = 52 color-matmuls (48 staple + 4 U*A), drift = 40
+    # (order-8 s=2 expm + apply), 216 real flops per 3x3 complex matmul
+    V = L ** 4
+    flops = 92 * 216 * V * nchains * K * nlf
+
+    # thermalize: 4 x K MD steps from the cold start (also warms compile)
+    for i in range(4):
+        x, acc = multi(x, jax.random.PRNGKey(10 + i))
     sync(x)
     rt = _roundtrip()
     t0 = time.perf_counter()
@@ -80,13 +114,46 @@ def bench_su3():
     sync(x)
     elapsed = time.perf_counter() - t0 - rt
     rate = K * nlf / elapsed
-    return {
-        "metric": "su3_4x4x4x4_leapfrog_md_steps_per_sec_per_chip",
-        "value": round(rate, 1),
-        "unit": (f"leapfrog MD steps/s (8 chains, 4^4, complex64, "
-                 f"acc={float(acc):.2f})"),
-        "vs_baseline": round(rate / TORCH_CPU_SU3_MD_STEPS_PER_SEC, 1),
+    out = {
+        "md_steps_per_sec": round(rate, 1),
+        "acc": round(float(acc), 3),
+        "nchains": nchains,
+        "L": L,
     }
+    gflops = flops / elapsed / 1e9
+    out["gflops"] = round(gflops, 1)
+    out["pct_mxu_peak"] = round(100.0 * gflops / V5E_PEAK_BF16_GFLOPS, 3)
+    if nbytes:
+        gbps = nbytes / elapsed / 1e9
+        out["hbm_gbps"] = round(gbps, 1)
+        out["pct_hbm_peak"] = round(100.0 * gbps / V5E_PEAK_HBM_GBPS, 1)
+        out["bound"] = (
+            "hbm-bandwidth" if gbps > 0.5 * V5E_PEAK_HBM_GBPS
+            else "latency/occupancy (workload too small for either roof)")
+    return out
+
+
+def bench_su3(extra_rows: bool = False):
+    head = bench_su3_at(8, 4)
+    result = {
+        "metric": "su3_4x4x4x4_leapfrog_md_steps_per_sec_per_chip",
+        "value": head["md_steps_per_sec"],
+        "unit": (f"leapfrog MD steps/s (8 chains, 4^4, complex64, "
+                 f"thermalized, acc={head['acc']:.2f})"),
+        "vs_baseline": round(
+            head["md_steps_per_sec"] / TORCH_CPU_SU3_MD_STEPS_PER_SEC, 1),
+    }
+    for k in ("gflops", "pct_mxu_peak", "hbm_gbps", "pct_hbm_peak", "bound"):
+        if k in head:
+            result[k] = head[k]
+    if extra_rows:
+        result["rows"] = [
+            bench_su3_at(128, 4),
+            # dH ~ eps^2 * V: halve eps at 16x the volume to keep the
+            # sampler in a sane acceptance regime
+            bench_su3_at(8, 8, K=20, eps0=0.005),
+        ]
+    return result
 
 
 def bench_u1():
@@ -133,7 +200,10 @@ def bench_u1():
 
 
 def main():
-    result = bench_u1() if "--u1" in sys.argv else bench_su3()
+    if "--u1" in sys.argv:
+        result = bench_u1()
+    else:
+        result = bench_su3(extra_rows="--rows" in sys.argv)
     print(json.dumps(result))
     return 0
 

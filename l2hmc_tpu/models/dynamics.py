@@ -627,14 +627,16 @@ class Dynamics:
         return s_b, sld, metrics
 
     def transition_kernel(self, params, masks, state: State, forward: bool,
-                          training=False, key=None):
+                          training=False, key=None, with_metrics=False):
         """Single-direction kernel (dynamics.py:1031-1063)."""
         base_key = key if key is not None else jax.random.PRNGKey(0)
         sld = jnp.zeros(state.x.shape[0], dtype=self.real_dtype)
         direction = +1 if forward else -1
-        i, sld, _ = self._scan_direction(
+        i, sld, ys = self._scan_direction(
             params, masks, self._to_internal(state), direction, training,
             base_key, sld)
+        if with_metrics:
+            return self._from_internal(i), sld, ys
         return self._from_internal(i), sld
 
     def compute_accept_prob(self, state_init: State, state_prop: State,
@@ -690,22 +692,27 @@ class Dynamics:
 
         def run(forward):
             return self.transition_kernel(params, masks, init, forward,
-                                          training=training, key=k_drop)
+                                          training=training, key=k_drop,
+                                          with_metrics=True)
 
-        prop, sld = jax.lax.cond(fwd, lambda: run(True), lambda: run(False))
+        prop, sld, ys = jax.lax.cond(fwd, lambda: run(True),
+                                     lambda: run(False))
         acc = self.compute_accept_prob(init, prop, sld)
         u = jax.random.uniform(k_acc, acc.shape, dtype=acc.dtype)
         acc_mask = (acc > u).astype(self.real_dtype)
         x_out = self._blend(acc_mask, prop.x, init.x)
         v_out = self._blend(acc_mask, prop.v, init.v)
         out = State(x_out, v_out, init.beta)
-        return x_out, {
+        metrics = {
             "acc": acc,
             "acc_mask": acc_mask,
             "sumlogdet": acc_mask * sld,
             "beta": init.beta,
             "mc_states": MonteCarloStates(init=init, proposed=prop, out=out),
         }
+        if self.config.verbose and ys is not None:
+            metrics["per_step"] = ys   # (nlf, nb) per series
+        return x_out, metrics
 
     # ------------------------------------------------------------------
     # Plain HMC (network-free baseline; dynamics.py:632-658, 900-954)

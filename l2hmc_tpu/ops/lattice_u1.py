@@ -155,10 +155,16 @@ def charges(wloops: jax.Array) -> Charges:
 
 
 def calc_metrics(x: jax.Array, nt: int, nx: int) -> dict[str, jax.Array]:
-    """plaqs/intQ/sinQ metric dict (lattice.py:131-143)."""
+    """plaqs/p4x4/intQ/sinQ metric dict (lattice.py:131-149 — the
+    reference also reports the 4x4-loop average as `p4x4`)."""
     w = wilson_loops(x, nt, nx)
     q = charges(w)
-    return {"plaqs": plaqs(w), "intQ": q.intQ, "sinQ": q.sinQ}
+    return {
+        "plaqs": plaqs(w),
+        "p4x4": plaqs4x4(wilson_loops4x4(x, nt, nx)),
+        "intQ": q.intQ,
+        "sinQ": q.sinQ,
+    }
 
 
 def plaqs_diff(x: jax.Array, beta, nt: int, nx: int) -> jax.Array:

@@ -89,6 +89,46 @@ class Trackers:
                 self.aim.track(val, name=k, step=step,
                                context={"job": job_type})
 
+    def log_params(self, params: Any, step: int, grads: Any = None,
+                   prefix: str = "model") -> None:
+        """Parameter (and gradient) histograms + norms per pytree leaf —
+        the reference's wandb.watch/log_item histogram pass
+        (trackers/pytorch/trackers.py:167-196). Call on a logging cadence
+        only; every leaf is pulled to the host."""
+        import jax
+
+        def each(tree, tag):
+            flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+            for path, leaf in flat:
+                name = f"{prefix}/{tag}/" + "".join(
+                    str(p) for p in path).replace("'", "").strip("[]")
+                a = grab(leaf).ravel()
+                if a.size == 0:
+                    continue
+                if self.tb is not None:
+                    try:
+                        self.tb.add_histogram(name, a, step)
+                    except Exception:
+                        pass
+                    self.tb.add_scalar(f"{name}.norm",
+                                       float(np.linalg.norm(a)), step)
+                if self.wandb is not None:
+                    try:
+                        import wandb
+                        self.wandb.log({name: wandb.Histogram(a)}, step=step)
+                    except Exception:
+                        pass
+                if self.aim is not None:
+                    try:
+                        from aim import Distribution
+                        self.aim.track(Distribution(a), name=name, step=step)
+                    except Exception:
+                        pass
+
+        each(params, "param")
+        if grads is not None:
+            each(grads, "grad")
+
     def close(self) -> None:
         if self.tb is not None:
             self.tb.close()

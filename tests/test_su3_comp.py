@@ -1,0 +1,115 @@
+"""Bit-level parity of the component-flat engine (ops/su3_comp) against
+the stacked SoA engine (ops/su3_soa) — same math, different storage."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from l2hmc_tpu.ops import su3 as g
+from l2hmc_tpu.ops import su3_comp as fc
+from l2hmc_tpu.ops import su3_soa as soa
+
+LAT = (4, 2, 2, 2)
+NB = 3
+BATCH = (4, *LAT, NB)
+
+
+def rand_m3(seed, batch=BATCH):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return soa.M3(jax.random.normal(k1, (3, 3) + batch, jnp.float64),
+                  jax.random.normal(k2, (3, 3) + batch, jnp.float64))
+
+
+def close(a, b, atol=1e-12):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
+
+
+def m3_close(m, f, batch=BATCH, atol=1e-12):
+    back = fc.to_m3(f, batch)
+    close(m.re, back.re, atol)
+    close(m.im, back.im, atol)
+
+
+def test_roundtrip_and_mm():
+    a = rand_m3(0)
+    b = rand_m3(1)
+    fa, fb = fc.from_m3(a), fc.from_m3(b)
+    m3_close(a, fa)
+    for aj in (False, True):
+        for bj in (False, True):
+            m3_close(soa.mm(a, b, aj, bj), fc.mm(fa, fb, aj, bj))
+            tr_s = soa.trace_mm(a, b, aj, bj)
+            tr_f = fc.trace_mm(fa, fb, aj, bj)
+            close(tr_s[0].reshape(-1), tr_f[0])
+            close(tr_s[1].reshape(-1), tr_f[1])
+
+
+def test_pointwise_composites():
+    a = rand_m3(2)
+    fa = fc.from_m3(a)
+    m3_close(soa.projectTAH(a), fc.projectTAH(fa))
+    m3_close(soa.expm(a, order=8, s=2), fc.expm(fa, order=8, s=2),
+             atol=1e-9)
+    close(soa.norm2(a).reshape(-1), fc.norm2(fa))
+    dre_s, dim_s = soa.det3x3(a)
+    dre_f, dim_f = fc.det3x3(fa)
+    close(dre_s.reshape(-1), dre_f)
+    close(dim_s.reshape(-1), dim_f)
+    # projectSU on a unitary field (pointwise: batch layout irrelevant)
+    u = soa.from_complex(
+        g.random(jax.random.PRNGKey(3), (NB, 4, *LAT, 3, 3),
+                 dtype=jnp.complex128))
+    fu = fc.from_m3(u)
+    m3_close(soa.projectSU(u), fc.projectSU(fu), batch=(NB, 4, *LAT),
+             atol=1e-10)
+    vs = soa.su3_to_vec(u)          # (8, *batch) stacked
+    vf = fc.su3_to_vec(fu)
+    for c in range(8):
+        close(vs[c].reshape(-1), vf[c])
+
+
+def test_lattice_ops_match():
+    x = rand_m3(4)
+    fx = fc.from_m3(x)
+    re_s, im_s = soa.plaq_traces(x)
+    re_f, im_f = fc.plaq_traces(fx, LAT, NB)
+    close(re_s.reshape(-1), re_f)
+    close(im_s.reshape(-1), im_f)
+    close(soa.action(x, 6.0), fc.action(fx, 6.0, LAT, NB))
+    m3_close(soa.staples(x), fc.staples(fx, LAT, NB), atol=1e-11)
+    m3_close(soa.grad_action(x, 6.0), fc.grad_action(fx, 6.0, LAT, NB),
+             atol=1e-10)
+    close(soa.kinetic_energy(x), fc.kinetic_energy(fx, NB))
+
+
+def test_hmc_trajectory_matches():
+    u = g.random(jax.random.PRNGKey(5), (NB, 4, *LAT, 3, 3),
+                 dtype=jnp.complex128)
+    xs = soa.from_complex(jnp.moveaxis(u, 0, -3))
+    vs = soa.random_momentum(jax.random.PRNGKey(6), (4, *LAT, NB),
+                             dtype=jnp.float64)
+    fx = fc.from_m3(xs)
+    fv = fc.from_m3(vs)
+    xp_s, vp_s, dh_s = soa.hmc_trajectory(xs, vs, 6.0, 0.02, 4)
+    xp_f, vp_f, dh_f = fc.hmc_trajectory(fx, fv, 6.0, 0.02, 4, LAT, NB)
+    m3_close(xp_s, xp_f, atol=1e-9)
+    m3_close(vp_s, vp_f, atol=1e-9)
+    close(dh_s, dh_f, atol=1e-9)
+
+
+def test_complex_lattice_roundtrip_and_momentum_stats():
+    u = g.random(jax.random.PRNGKey(7), (NB, 4, *LAT, 3, 3),
+                 dtype=jnp.complex128)
+    f = fc.from_complex_lattice(u)
+    back = fc.to_complex_lattice(f, LAT, NB, u.dtype)
+    close(u, back)
+    n = 4 * int(np.prod(LAT)) * NB
+    v = fc.random_momentum(jax.random.PRNGKey(8), 50000, jnp.float64)
+    # E|p|^2_F = 8 per link; traceless anti-hermitian
+    assert abs(float(jnp.mean(fc.norm2(v))) - 8.0) < 0.1
+    tr_re, tr_im = fc.trace(v)
+    assert float(jnp.max(jnp.abs(tr_re))) < 1e-12
+    assert float(jnp.max(jnp.abs(tr_im))) < 1e-10
+    for c in range(9):
+        close(v.re[c], -v.re[3 * (c % 3) + c // 3])
+        close(v.im[c], v.im[3 * (c % 3) + c // 3])
