@@ -16,7 +16,7 @@ on this machine by benchmarks/torch_su3_baseline.py (14.85 MD steps/s at
 the same config in the reference's complex128; north-star >= 10x).
 
 Utilization (VERDICT r1 #4): achieved GFLOP/s uses an ANALYTIC flop
-count (92 color-matmuls/site/MD-step x 216 flops — XLA cost analysis
+count (82 color-matmuls/site/MD-step x 216 flops — XLA cost analysis
 does not unroll the scan on this backend and under-reports ~200x);
 HBM GB/s uses the executable's "bytes accessed" where available. Peaks
 used for %: v5e ~197e3 GFLOP/s bf16 MXU (the kernel is f32 VPU work, so
@@ -99,10 +99,11 @@ def bench_su3_at(nchains: int, L: int, K: int = 50, nlf_half: int = 5,
     _, nbytes = _cost(compiled)
     # analytic FLOPs per MD step (XLA cost analysis does not unroll the
     # scan on this backend — it under-reports ~200x): per site,
-    # force = 52 color-matmuls (48 staple + 4 U*A), drift = 40
+    # force = 42 color-matmuls (7 per plane via the shared-plaquette
+    # staple identity, su3_comp.force_and_traces), drift = 40
     # (order-8 s=2 expm + apply), 216 real flops per 3x3 complex matmul
     V = L ** 4
-    flops = 92 * 216 * V * nchains * K * nlf
+    flops = 82 * 216 * V * nchains * K * nlf
 
     # thermalize: 4 x K MD steps from the cold start (also warms compile)
     for i in range(4):

@@ -9,9 +9,16 @@ rebuild has a committed physics number to assert against
 Run once, record the printed value:
   python benchmarks/torch_su3_plaq_oracle.py [beta] [L] [ntherm] [nmeas]
 
-Recorded value: see tests/test_physics.py::
-test_su3_plaquette_matches_reference_oracle (committed from a run of
-this script).
+Recorded value (2026-08-17, seed 0, defaults + ntherm=100 nmeas=80):
+    plaq = 0.59623 +- 0.00038, acc = 0.965
+History: the first recording (60 therm) gave 0.59155 — 1% BELOW the JAX
+engine's converged 0.59707(17). Root cause (caught by the cross-check
+test): torch.linalg.qr leaves det(Q) at a random phase, so the start was
+U(3) rather than SU(3), and the TAH drift preserves each link's det —
+the run sampled a different ensemble. The start is now det-corrected;
+with it, both implementations agree within combined errors and sit
+~0.003 above the infinite-volume literature value 0.59382 (4^4
+finite-size shift).
 """
 import json
 import math
@@ -91,6 +98,9 @@ def main():
     shape = (nb, 4, L, L, L, L, 3, 3)
     a = torch.randn(shape, dtype=torch.complex128) * 0.1
     x, _ = torch.linalg.qr(a + torch.eye(3, dtype=torch.complex128))
+    # QR leaves det(Q) at a random phase (U(3), not SU(3)) and the TAH
+    # drift preserves det — fix the determinant so the ensemble is SU(3)
+    x = x / torch.linalg.det(x)[..., None, None] ** (1.0 / 3.0)
     t0 = time.perf_counter()
     accs = []
     for i in range(ntherm):

@@ -232,6 +232,9 @@ class ExperimentConfig(BaseConfig):
     nchains: Optional[int] = None      # eval-time nchains override
     restore: bool = False
     save: bool = True
+    #: improved-action rectangle coefficient (DBW2 -1.4088, Iwasaki
+    #: -0.331; reference configs.py:658 top-level c1)
+    c1: float = 0.0
     outdir: Optional[str] = None
     profile: bool = False
     # parallelism: number of devices along the chain ('data') mesh axis;

@@ -48,7 +48,7 @@ from l2hmc_tpu.configs import (
 from l2hmc_tpu.models import networks as net
 from l2hmc_tpu.ops import u1 as u1g
 from l2hmc_tpu.ops import su3 as su3g
-from l2hmc_tpu.ops import su3_soa as soa
+from l2hmc_tpu.ops import su3_comp as comp
 from l2hmc_tpu.ops import lattice_u1, lattice_su3
 
 
@@ -93,8 +93,10 @@ class Dynamics:
         conv: Optional[ConvolutionConfig] = None,
         dtype=jnp.float32,
         net_compute_dtype=None,
+        c1: float = 0.0,
     ):
         self.config = config
+        self.c1 = float(c1)
         self.network_config = network
         self.net_weights = net_weights or NetWeights()
         # mixed precision for the (s,t,q) GEMM stacks (e.g. bfloat16)
@@ -120,7 +122,7 @@ class Dynamics:
         else:
             assert jnp.issubdtype(dtype, jnp.complexfloating)
             self.lattice = lattice_su3.LatticeSU3(
-                config.nchains, list(config.latvolume))
+                config.nchains, list(config.latvolume), c1=self.c1)
             self.g = su3g
             vol = self.lattice.volume
             self.xdim = 4 * vol * 9          # complex entries per config
@@ -204,55 +206,86 @@ class Dynamics:
         return jnp.stack(rows)
 
     # ------------------------------------------------------------------
-    # Internal representation: SU(3) runs the whole trajectory in the SoA
-    # engine (ops/su3_soa — the complex (...,3,3) AoS layout wastes ~99%
-    # of each TPU vector tile); U(1) stays flat. Conversions happen once
-    # per kernel invocation.
+    # Internal representation: SU(3) runs the whole trajectory in the
+    # component-flat engine (ops/su3_comp — 9+9 1-D arrays per field;
+    # the complex (...,3,3) AoS layout wastes ~99% of each TPU vector
+    # tile and even the color-stacked SoA layout wastes the 128-lane
+    # minor dim whenever nchains < 128; measured 26 -> 945 GFLOP/s).
+    # U(1) stays flat. Conversions happen once per kernel invocation.
     # ------------------------------------------------------------------
-    def _x_to_soa(self, x: jax.Array) -> "soa.M3":
-        """(nb, d, t, x, y, z, 3, 3) complex -> M3 batch (d,t,x,y,z,nb)."""
-        return soa.from_complex(jnp.moveaxis(x, 0, -3))
+    def _x_to_comp(self, x: jax.Array) -> "comp.F3":
+        return comp.from_complex_lattice(x)
 
-    def _x_from_soa(self, m: "soa.M3") -> jax.Array:
-        return jnp.moveaxis(soa.to_complex(m), -3, 0)
+    def _comp_nb(self, f: "comp.F3") -> int:
+        """Chain count from the flat component length (eval runs with
+        fewer chains than config.nchains)."""
+        return f.re[0].shape[0] // (4 * self.lattice.volume)
+
+    def _x_from_comp(self, f: "comp.F3") -> jax.Array:
+        return comp.to_complex_lattice(
+            f, tuple(self.config.latvolume), self._comp_nb(f), self.dtype)
 
     def _to_internal(self, state: State):
         if self.group == "SU3":
-            return (self._x_to_soa(state.x), self._x_to_soa(state.v),
+            return (self._x_to_comp(state.x), self._x_to_comp(state.v),
                     state.beta)
         return (state.x, state.v, state.beta)
 
     def _from_internal(self, i) -> State:
         if self.group == "SU3":
-            return State(self._x_from_soa(i[0]), self._x_from_soa(i[1]), i[2])
+            return State(self._x_from_comp(i[0]), self._x_from_comp(i[1]),
+                         i[2])
         return State(i[0], i[1], i[2])
 
     def _flip_v_internal(self, i):
         if self.group == "SU3":
-            return (i[0], soa.scale(i[1], -1.0), i[2])
+            return (i[0], comp.scale(i[1], -1.0), i[2])
         return (i[0], -i[1], i[2])
 
     def _grad_internal(self, ix, beta):
         if self.group == "SU3":
-            return soa.grad_action(ix, beta)
+            return comp.grad_action(ix, beta, tuple(self.config.latvolume),
+                                    self._comp_nb(ix), c1=self.c1)
         return self.lattice.grad_action(ix, beta)
+
+    def _force_traces_internal(self, ix, beta):
+        """(force, plaq_re_sum or None): the Wilson force computation
+        yields the action trace for free (comp.force_and_traces), so the
+        kernels reuse it for the MH Hamiltonians instead of re-walking
+        the plaquettes. c1 != 0 falls back to (autodiff force, None)."""
+        if self.c1 != 0.0:
+            return self._grad_internal(ix, beta), None
+        return comp.force_and_traces(ix, beta,
+                                     tuple(self.config.latvolume),
+                                     self._comp_nb(ix))
+
+    def _h_from_traces(self, iv, beta, tr):
+        nb = self._comp_nb(iv)
+        return comp.kinetic_energy(iv, nb) + (-beta / 3.0) * tr
 
     def _hamiltonian_internal(self, ix, iv, beta) -> jax.Array:
         if self.group == "SU3":
-            return soa.kinetic_energy(iv) + soa.action(ix, beta)
+            nb = self._comp_nb(ix)
+            return (comp.kinetic_energy(iv, nb)
+                    + comp.action(ix, beta, tuple(self.config.latvolume),
+                                  nb, c1=self.c1))
         return (self.lattice.kinetic_energy(iv)
                 + self.lattice.action(ix, beta))
 
-    def _vec_flatten(self, vec: jax.Array) -> jax.Array:
-        """SoA coord field (8, d, t, x, y, z, nb) -> (nb, features)."""
-        return jnp.moveaxis(vec, -1, 0).reshape(vec.shape[-1], -1)
+    def _vec_flatten(self, coords) -> jax.Array:
+        """Tuple of 8 flat (4*V*nb,) coord arrays -> (nb, 8*4*V) in the
+        (8, d, t, x, y, z) feature order the vnet was initialized with."""
+        nb = coords[0].shape[0] // (4 * self.lattice.volume)
+        c = jnp.stack(coords)                  # (8, 4*V*nb)
+        c = c.reshape(8, -1, nb)               # (8, 4V, nb)
+        return jnp.transpose(c, (2, 0, 1)).reshape(nb, -1)
 
-    def _stq_to_soa(self, a: jax.Array) -> jax.Array:
-        """Real head output (nb, 4*vol*9) -> SoA broadcast layout
-        (3, 3, d, t, x, y, z, nb)."""
-        lat = self.config.latvolume
-        r = a.reshape(a.shape[0], 4, *lat, 3, 3)
-        return jnp.transpose(r, (6, 7, 1, 2, 3, 4, 5, 0))
+    def _stq_to_comp(self, a: jax.Array):
+        """Real head output (nb, 4*vol*9) -> 9 flat (4*V*nb,) per-entry
+        fields (one transpose; entries ordered (d, t, x, y, z, nb))."""
+        nb = a.shape[0]
+        at = jnp.transpose(a.reshape(nb, -1, 9), (1, 2, 0))   # (4V, 9, nb)
+        return tuple(at[:, c, :].reshape(-1) for c in range(9))
 
     # ------------------------------------------------------------------
     # Physics helpers
@@ -267,10 +300,11 @@ class Dynamics:
         return self.lattice.kinetic_energy(v)
 
     def hamiltonian(self, state: State) -> jax.Array:
-        """Total energy; SU(3) computes through the SoA engine."""
+        """Total energy; SU(3) computes through the component engine."""
         if self.group == "SU3":
             return self._hamiltonian_internal(
-                self._x_to_soa(state.x), self._x_to_soa(state.v), state.beta)
+                self._x_to_comp(state.x), self._x_to_comp(state.v),
+                state.beta)
         return self.kinetic_energy(state.v) + self.potential(state.x, state.beta)
 
     def random_x(self, key: jax.Array, nchains: Optional[int] = None) -> jax.Array:
@@ -306,8 +340,8 @@ class Dynamics:
             xin = self._flatten(x)
             fin = self._flatten(force)
         else:
-            xin = self._vec_flatten(soa.su3_to_vec(x))
-            fin = self._vec_flatten(soa.su3_to_vec(force))
+            xin = self._vec_flatten(comp.su3_to_vec(x))
+            fin = self._vec_flatten(comp.su3_to_vec(force))
         return net.apply_leapfrog_layer(
             vnet, xin.astype(self.real_dtype), fin.astype(self.real_dtype),
             cfg=self.network_config, net_weight=self.net_weights.v,
@@ -414,8 +448,8 @@ class Dynamics:
         xf = u1g.compat_proj(xf)
         return xf, logdet
 
-    def _update_v_su3(self, vnet, x: "soa.M3", v: "soa.M3",
-                      force: "soa.M3", eps, direction: int, training, dkey):
+    def _update_v_su3(self, vnet, x: "comp.F3", v: "comp.F3",
+                      force: "comp.F3", eps, direction: int, training, dkey):
         """SoA SU(3) v update — same equations as _update_v
         (dynamics.py:1266-1297): s, t, q are real per-entry fields.
 
@@ -431,42 +465,57 @@ class Dynamics:
         reference. Documented by
         tests/test_dynamics.py::test_su3_sumlogdet_convention."""
         s, t, q = self._call_vnet(vnet, x, force, training, dkey)
+        # direction may be a python +-1 OR a traced per-step scalar (the
+        # unified fb scan): fwd  v' = e^{jac} v - eps/2 G,
+        #                   bwd  v' = e^{-jac} (v + eps/2 G)
+        # unify as v' = exp_s * v + w * G with w = -eps/2 (fwd) or
+        # +eps/2 * exp_s (bwd); exp_s = e^{direction*jac} either way.
         jac = 0.5 * eps * s
-        logjac = jac if direction > 0 else -jac
+        logjac = direction * jac
         logdet = jnp.sum(logjac, axis=1)
-        exp_s = self._stq_to_soa(jnp.exp(logjac))
-        exp_q = self._stq_to_soa(jnp.exp(eps * q))
-        t_ = self._stq_to_soa(t)
-        fn_re = force.re * exp_q + t_
-        fn_im = force.im * exp_q
-        if direction > 0:
-            vf = soa.M3(exp_s * v.re - 0.5 * eps * fn_re,
-                        exp_s * v.im - 0.5 * eps * fn_im)
-        else:
-            vf = soa.M3(exp_s * (v.re + 0.5 * eps * fn_re),
-                        exp_s * (v.im + 0.5 * eps * fn_im))
+        exp_s = self._stq_to_comp(jnp.exp(logjac))
+        exp_q = self._stq_to_comp(jnp.exp(eps * q))
+        t_ = self._stq_to_comp(t)
+        fn_re = tuple(force.re[c] * exp_q[c] + t_[c] for c in range(9))
+        fn_im = tuple(force.im[c] * exp_q[c] for c in range(9))
+        half = 0.5 * eps
+        fwd = direction > 0
+        w = tuple(jnp.where(fwd, -half, half * exp_s[c]) for c in range(9))
+        vf = comp.F3(
+            tuple(exp_s[c] * v.re[c] + w[c] * fn_re[c] for c in range(9)),
+            tuple(exp_s[c] * v.im[c] + w[c] * fn_im[c] for c in range(9)))
         return vf, logdet
 
-    def _update_x_su3(self, x: "soa.M3", v: "soa.M3", m, eps,
-                      direction: int):
-        """SU(3) x update in SoA: masked gauge drift, zero logdet
-        (dynamics.py:1420-1425, :1468-1475). The per-link mask broadcasts
-        over the 3x3 block, so exp(eps v) @ (mb * x) touches exactly the
-        (1-m) links and the update inverts exactly."""
-        lat = self.config.latvolume
-        mm_ = m.reshape(1, 1, 4, *lat, 1)
-        mb = 1.0 - mm_
-        sign = eps if direction > 0 else -eps
-        mbx = soa.M3(mb * x.re, mb * x.im)
+    def _update_x_su3(self, x: "comp.F3", v: "comp.F3", m, eps,
+                      direction, drift: "comp.F3" = None):
+        """SU(3) x update (component engine): masked gauge drift, zero
+        logdet (dynamics.py:1420-1425, :1468-1475; the punt is exact —
+        left translation, proven in tests/test_su3_algebra.py). The
+        per-link mask broadcasts over the 3x3 block, so
+        exp(eps v) @ ((1-m) x) touches exactly the (1-m) links and the
+        update inverts exactly."""
+        nb = x.re[0].shape[0] // (4 * self.lattice.volume)
+        # m: (4*vol,) per-link -> flat (4*vol*nb,) in (link, nb) order
+        mflat = jnp.broadcast_to(
+            m[:, None].astype(self.real_dtype), (m.shape[0], nb)
+        ).reshape(-1)
+        mb = 1.0 - mflat
+        sign = direction * eps   # works for python and traced +-1
+        mbx = comp.F3(tuple(mb * x.re[c] for c in range(9)),
+                      tuple(mb * x.im[c] for c in range(9)))
         # eps is trainable (sigmoid-bounded < 1) and |v|_F ~ 2.8 for
         # thermal TAH momenta, so |eps*v|_F can reach ~2.8 if training
         # drives eps up; two scaling-squaring halvings keep the order-8
         # Taylor unitary to ~4e-8 over the whole reachable range
         # (ADVICE r1: s=0 lost unitarity above |m|_F ~ 1)
-        upd = soa.mm(soa.expm(soa.scale(v, sign), order=8, s=2), mbx)
-        xf = soa.M3(mm_ * x.re + upd.re, mm_ * x.im + upd.im)
-        logdet = jnp.zeros(x.re.shape[-1], dtype=self.real_dtype)
-        return xf, logdet
+        if drift is None:
+            drift = comp.expm(comp.scale(v, sign), order=8, s=2)
+        upd = comp.mm(drift, mbx)
+        xf = comp.F3(
+            tuple(mflat * x.re[c] + upd.re[c] for c in range(9)),
+            tuple(mflat * x.im[c] + upd.im[c] for c in range(9)))
+        logdet = jnp.zeros((nb,), dtype=self.real_dtype)
+        return xf, logdet, drift
 
     # ------------------------------------------------------------------
     # Leapfrog steps (with force carried across the step boundary)
@@ -497,7 +546,7 @@ class Dynamics:
             return k
 
         mb = 1.0 - m
-        if self.group == "U1":
+        if True:   # U(1)-only body (SU(3) runs _su3_scan's unified body)
             state = State(x, v, beta)
             v1, ld = self._update_v(vnet, state, force, eps_v, direction,
                                     training, dkey(0))
@@ -525,25 +574,98 @@ class Dynamics:
             state = State(x2, v1, beta)
             v2, ld = self._update_v(vnet, state, force2, eps_v, direction,
                                     training, dkey(3))
-        else:
-            # SU(3): x, v, force are SoA M3 fields
-            v1, ld = self._update_v_su3(vnet, x, v, force, eps_v, direction,
-                                        training, dkey(0))
-            sumlogdet = sumlogdet + ld
-            if direction > 0:
-                x1, ld = self._update_x_su3(x, v1, m, eps_x, direction)
-                sumlogdet = sumlogdet + ld
-                x2, ld = self._update_x_su3(x1, v1, mb, eps_x, direction)
-            else:
-                x1, ld = self._update_x_su3(x, v1, mb, eps_x, direction)
-                sumlogdet = sumlogdet + ld
-                x2, ld = self._update_x_su3(x1, v1, m, eps_x, direction)
-            sumlogdet = sumlogdet + ld
-            force2 = self._grad_internal(x2, beta)
-            v2, ld = self._update_v_su3(vnet, x2, v1, force2, eps_v,
-                                        direction, training, dkey(3))
         sumlogdet = sumlogdet + ld
         return (x2, v2, force2, sumlogdet, beta)
+
+    def _su3_lf_step(self, carry, si, training, base_key):
+        """One SU(3) generalized leapfrog step with the direction as a
+        TRACED per-step input: the merged fwd+bwd trajectory becomes a
+        single scan whose body is traced (and differentiated) once —
+        halving the graph vs separate fwd/bwd scans. si carries
+        direction-adjusted masks (m1 = m fwd / 1-m bwd), a midpoint
+        momentum-flip flag, and the per-step eps/net params already
+        gathered in trajectory order."""
+        x, v, force, tr, sumlogdet, beta = carry
+        d = si["dir"]
+        # momentum flip at the fb midpoint (dynamics.py:1001)
+        v = comp.scale(v, 1.0 - 2.0 * si["flip"])
+        eps_x = _sigmoid(si["xeps"])
+        eps_v = _sigmoid(si["veps"])
+        m1 = si["mask"]
+        vnet = si.get("vnet", None)
+        if vnet is None:
+            vnet = self._params_vnets
+
+        def dkey(j):
+            if not training or self.network_config.dropout_prob <= 0:
+                return None
+            off = jnp.where(d > 0, 0, 4).astype(si["idx"].dtype)
+            return jax.random.fold_in(base_key, si["idx"] * 8 + j + off)
+
+        v1, ld = self._update_v_su3(vnet, x, v, force, eps_v, d,
+                                    training, dkey(0))
+        sumlogdet = sumlogdet + ld
+        # both masked half-updates share the same exp(d*eps*v1): build it
+        # once (saves a full order-8 expm per leapfrog step)
+        x1, _, drift = self._update_x_su3(x, v1, m1, eps_x, d)
+        x2, _, _ = self._update_x_su3(x1, v1, 1.0 - m1, eps_x, d,
+                                      drift=drift)
+        force2, tr2 = self._force_traces_internal(x2, beta)
+        if tr2 is None:
+            tr2 = tr
+        v2, ld = self._update_v_su3(vnet, x2, v1, force2, eps_v, d,
+                                    training, dkey(3))
+        sumlogdet = sumlogdet + ld
+        return (x2, v2, force2, tr2, sumlogdet, beta)
+
+    def _su3_scan(self, params, masks, ix, iv, beta, sld, idx_order, dirs,
+                  flips, training, base_key):
+        """Unified SU(3) trajectory scan over an arbitrary step schedule
+        (idx_order into the per-step params, dirs = +-1, flips marks the
+        momentum reversal)."""
+        self._params_vnets = (
+            None if self.config.use_separate_networks else params.vnets)
+        io = jnp.asarray(idx_order)
+        dirs_a = jnp.asarray(dirs, self.real_dtype)
+        flips_a = jnp.asarray(flips, self.real_dtype)
+        m_base = masks[io].astype(self.real_dtype)
+        # bwd steps act on the complement side first: fold the order swap
+        # into the mask itself
+        m_eff = jnp.where(dirs_a[:, None] > 0, m_base, 1.0 - m_base)
+        xs = {
+            "xeps": params.xeps[io],
+            "veps": params.veps[io],
+            "mask": m_eff,
+            "dir": dirs_a,
+            "flip": flips_a,
+            "idx": io,
+        }
+        if self.config.use_separate_networks:
+            xs["vnet"] = jax.tree_util.tree_map(lambda a: a[io],
+                                                params.vnets)
+        force, tr0 = self._force_traces_internal(ix, beta)
+        if tr0 is None:   # c1 != 0: no trace sharing
+            tr0 = jnp.zeros((self._comp_nb(ix),), self.real_dtype)
+
+        def body(carry, si):
+            new_carry = self._su3_lf_step(carry, si, training, base_key)
+            if self.config.verbose:
+                x_, v_, tr_, s_, beta_ = (new_carry[0], new_carry[1],
+                                          new_carry[3], new_carry[4],
+                                          new_carry[5])
+                if self.c1 == 0.0:
+                    h = self._h_from_traces(v_, beta_, tr_)
+                else:
+                    h = self._hamiltonian_internal(x_, v_, beta_)
+                ys = {"energy": h, "logdet": s_, "logprob": h - s_}
+            else:
+                ys = None
+            return new_carry, ys
+
+        carry = (ix, iv, force, tr0, sld, beta)
+        carry, ys = jax.lax.scan(body, carry, xs)
+        x, v, _, tr_last, sld, _ = carry
+        return x, v, sld, ys, tr0, tr_last
 
     def _make_xs(self, params: DynamicsParams, masks: jax.Array,
                  reverse: bool) -> dict:
@@ -613,6 +735,27 @@ class Dynamics:
         backward steps (dynamics.py:956-1029)."""
         base_key = key if key is not None else jax.random.PRNGKey(0)
         sld = jnp.zeros(state.x.shape[0], dtype=self.real_dtype)
+        if self.group == "SU3":
+            # one scan over 2*nlf steps with traced direction: the body
+            # (and its AD transpose) is built once instead of twice
+            nlf = self.nlf
+            ix, iv, beta = self._to_internal(state)
+            idx_order = list(range(nlf)) + list(reversed(range(nlf)))
+            dirs = [1.0] * nlf + [-1.0] * nlf
+            flips = [0.0] * nlf + [1.0] + [0.0] * (nlf - 1)
+            x, v, sld, ys, tr0, tr1 = self._su3_scan(
+                params, masks, ix, iv, beta, sld, idx_order, dirs, flips,
+                training, base_key)
+            s_b = self._from_internal((x, v, beta))
+            metrics = {"sumlogdet": sld}
+            if self.c1 == 0.0:
+                # the force evaluations at the trajectory endpoints carry
+                # the action traces: the MH Hamiltonians are free
+                metrics["h_init_partial"] = (-beta / 3.0) * tr0
+                metrics["h_prop"] = self._h_from_traces(v, beta, tr1)
+            if self.config.verbose and ys is not None:
+                metrics["per_step"] = ys
+            return s_b, sld, metrics
         i0 = self._to_internal(state)
         i_f, sld, ys_f = self._scan_direction(
             params, masks, i0, +1, training, base_key, sld)
@@ -632,6 +775,20 @@ class Dynamics:
         base_key = key if key is not None else jax.random.PRNGKey(0)
         sld = jnp.zeros(state.x.shape[0], dtype=self.real_dtype)
         direction = +1 if forward else -1
+        if self.group == "SU3":
+            nlf = self.nlf
+            ix, iv, beta = self._to_internal(state)
+            idx_order = (list(range(nlf)) if forward
+                         else list(reversed(range(nlf))))
+            dirs = [float(direction)] * nlf
+            flips = [0.0] * nlf
+            x, v, sld, ys, _, _ = self._su3_scan(
+                params, masks, ix, iv, beta, sld, idx_order, dirs, flips,
+                training, base_key)
+            st = self._from_internal((x, v, beta))
+            if with_metrics:
+                return st, sld, ys
+            return st, sld
         i, sld, ys = self._scan_direction(
             params, masks, self._to_internal(state), direction, training,
             base_key, sld)
@@ -665,7 +822,16 @@ class Dynamics:
         init = State(x, v, jnp.asarray(beta))
         prop, sld, kmetrics = self.transition_kernel_fb(
             params, masks, init, training=training, key=k_drop)
-        acc = self.compute_accept_prob(init, prop, sld)
+        if "h_prop" in kmetrics:
+            # traces carried out of the scan: only the initial kinetic
+            # energy remains to compute
+            iv0 = self._x_to_comp(v)
+            h_init = (comp.kinetic_energy(iv0, self._comp_nb(iv0))
+                      + kmetrics.pop("h_init_partial"))
+            dh = h_init - kmetrics.pop("h_prop") + sld
+            acc = jnp.exp(jnp.minimum(dh, 0.0))
+        else:
+            acc = self.compute_accept_prob(init, prop, sld)
         u = jax.random.uniform(k_acc, acc.shape, dtype=acc.dtype)
         acc_mask = (acc > u).astype(self.real_dtype)
         x_out = self._blend(acc_mask, prop.x, init.x)
@@ -723,18 +889,21 @@ class Dynamics:
         half-kick (identical trajectory to dynamics.py:900-913 at nlf+1
         instead of 2*nlf force evals).
 
-        SU(3) runs in the SoA engine (ops/su3_soa): the complex
-        (..., 3, 3) layout wastes ~99% of each TPU vector register, so the
-        trajectory converts once at entry/exit and runs ~5x faster."""
+        SU(3) runs in the component engine (ops/su3_comp): the complex
+        (..., 3, 3) layout wastes ~99% of each TPU vector register and
+        even the color-stacked SoA layout idles most of the 128-lane
+        minor dim for small chain counts; flat components keep every
+        vector op full (measured 26 -> 945 GFLOP/s on v5e)."""
         if self.group == "SU3":
-            from l2hmc_tpu.ops import su3_soa as soa
-            xs = soa.from_complex(jnp.moveaxis(state.x, 0, -3))
-            vs = soa.from_complex(jnp.moveaxis(state.v, 0, -3))
-            xp, vp, _ = soa.hmc_trajectory(
-                xs, vs, state.beta, eps, nleapfrog)
-            x = jnp.moveaxis(soa.to_complex(xp), -3, 0)
-            v = jnp.moveaxis(soa.to_complex(vp), -3, 0)
-            return State(x, v, state.beta)
+            lat = tuple(self.config.latvolume)
+            nb = state.x.shape[0]
+            xs = comp.from_complex_lattice(state.x)
+            vs = comp.from_complex_lattice(state.v)
+            xp, vp, dh = comp.hmc_trajectory(
+                xs, vs, state.beta, eps, nleapfrog, lat, nb, c1=self.c1)
+            x = comp.to_complex_lattice(xp, lat, nb, state.x.dtype)
+            v = comp.to_complex_lattice(vp, lat, nb, state.v.dtype)
+            return State(x, v, state.beta), dh
 
         def body(carry, _):
             x, v, force = carry
@@ -747,7 +916,9 @@ class Dynamics:
         force = self.grad_potential(state.x, state.beta)
         (x, v, _), _ = jax.lax.scan(
             body, (state.x, state.v, force), None, length=nleapfrog)
-        return State(x, v, state.beta)
+        prop = State(x, v, state.beta)
+        dh = self.hamiltonian(state) - self.hamiltonian(prop)
+        return prop, dh
 
     def apply_transition_hmc(self, x, beta, key, eps=None,
                              nleapfrog: Optional[int] = None):
@@ -760,9 +931,11 @@ class Dynamics:
         k_v, k_acc = jax.random.split(key)
         v = self.random_v(k_v, x)
         init = State(x, v, jnp.asarray(beta))
-        prop = self.transition_kernel_hmc(init, eps, nleapfrog)
+        prop, dh = self.transition_kernel_hmc(init, eps, nleapfrog)
         sld = jnp.zeros(x.shape[0], dtype=self.real_dtype)
-        acc = self.compute_accept_prob(init, prop, sld)
+        # dh comes out of the trajectory itself (the SU(3) path gets the
+        # action traces free with every force evaluation)
+        acc = jnp.exp(jnp.minimum(dh, 0.0)).astype(self.real_dtype)
         u = jax.random.uniform(k_acc, acc.shape, dtype=acc.dtype)
         acc_mask = (acc > u).astype(self.real_dtype)
         x_out = self._blend(acc_mask, prop.x, init.x)

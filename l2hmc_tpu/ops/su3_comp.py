@@ -98,24 +98,28 @@ def to_complex_lattice(f: F3, lat, nb: int, dtype) -> jax.Array:
 # ---------------------------------------------------------------------------
 # Basic algebra (shape-agnostic pointwise)
 # ---------------------------------------------------------------------------
-def _comp(a: F3, i: int, j: int, adj: bool):
-    if adj:
-        c = 3 * j + i
-        return a.re[c], -a.im[c]
-    c = 3 * i + j
-    return a.re[c], a.im[c]
+def _op_comps(a: F3, adj: bool):
+    """(re, im) component lists of op(a); the adjoint's negations are
+    hoisted so each appears ONCE in the graph (not once per use)."""
+    if not adj:
+        return a.re, a.im
+    re = tuple(a.re[3 * j + i] for i in range(3) for j in range(3))
+    im = tuple(-a.im[3 * j + i] for i in range(3) for j in range(3))
+    return re, im
 
 
 def mm(a: F3, b: F3, adj_a: bool = False, adj_b: bool = False) -> F3:
     """op(a) @ op(b) fully unrolled on components — every multiply is a
     full-lane vector FMA; no slices, stacks, or dots in the graph."""
+    are, aim = _op_comps(a, adj_a)
+    bre, bim = _op_comps(b, adj_b)
     zr, zi = [], []
     for i in range(3):
         for j in range(3):
             sr = si = 0.0
             for k in range(3):
-                ar, ai = _comp(a, i, k, adj_a)
-                br, bi = _comp(b, k, j, adj_b)
+                ar, ai = are[3 * i + k], aim[3 * i + k]
+                br, bi = bre[3 * k + j], bim[3 * k + j]
                 sr = sr + ar * br - ai * bi
                 si = si + ar * bi + ai * br
             zr.append(sr)
@@ -125,11 +129,13 @@ def mm(a: F3, b: F3, adj_a: bool = False, adj_b: bool = False) -> F3:
 
 def trace_mm(a: F3, b: F3, adj_a: bool = False, adj_b: bool = False):
     """(Re, Im) of tr[op(a) op(b)]."""
+    are, aim = _op_comps(a, adj_a)
+    bre, bim = _op_comps(b, adj_b)
     sr = si = 0.0
     for i in range(3):
         for k in range(3):
-            ar, ai = _comp(a, i, k, adj_a)
-            br, bi = _comp(b, k, i, adj_b)
+            ar, ai = are[3 * i + k], aim[3 * i + k]
+            br, bi = bre[3 * k + i], bim[3 * k + i]
             sr = sr + ar * br - ai * bi
             si = si + ar * bi + ai * br
     return sr, si
@@ -334,14 +340,51 @@ def plaq_traces(x: F3, lat, nb: int, roll=None, per_plane: bool = False):
     return re_tot, im_tot
 
 
+def rect_traces(x: F3, lat, nb: int, roll=None):
+    """Re parts of the two 2x1 rectangle traces per (u, v) plane — 12
+    flat (V*nb,) arrays (reference lattice/su3/pytorch/lattice.py:180-195
+    builds the same loops)."""
+    if roll is None:
+        roll = make_roll(lat, nb)
+    n_dir = int(np.prod(lat)) * nb
+    out = []
+    for u in range(1, 4):
+        for v in range(0, u):
+            xu = dir_slice(x, u, n_dir)
+            xv = dir_slice(x, v, n_dir)
+            yuv = mm(xu, roll_f(xv, -1, u, roll))
+            yvu = mm(xv, roll_f(xu, -1, v, roll))
+            yu = roll_f(xu, -1, v, roll)
+            yv = roll_f(xv, -1, u, roll)
+            uu = mm(xv, yuv, adj_a=True)
+            ur = mm(xu, yvu, adj_a=True)
+            ul = mm(yuv, yu, adj_b=True)
+            ud = mm(yvu, yv, adj_b=True)
+            ul_ = roll_f(ul, -1, u, roll)
+            ud_ = roll_f(ud, -1, v, roll)
+            out.append(trace_mm(ur, ul_, adj_b=True)[0])
+            out.append(trace_mm(uu, ud_, adj_b=True)[0])
+    return out
+
+
 def _chain_sum(a: jax.Array, nb: int) -> jax.Array:
     """Flat (sites*nb,) -> per-chain sum (nb,)."""
     return a.reshape(-1, nb).sum(axis=0)
 
 
-def action(x: F3, beta, lat, nb: int, roll=None) -> jax.Array:
+def action(x: F3, beta, lat, nb: int, roll=None,
+           c1: float = 0.0) -> jax.Array:
+    """Wilson (c1=0) or improved (DBW2/Iwasaki, c1 != 0) gauge action:
+    S = -(1/3)[beta(1-8c1) sum Re tr P + beta c1 sum Re tr R]
+    (lattice/su3/pytorch/lattice.py:252-269, arXiv hep-lat/0512017)."""
     re_tot, _ = plaq_traces(x, lat, nb, roll)
-    return (-beta / 3.0) * _chain_sum(re_tot, nb)
+    s = (1.0 - 8.0 * c1) * _chain_sum(re_tot, nb)
+    if c1 != 0.0:
+        r = 0.0
+        for tr in rect_traces(x, lat, nb, roll):
+            r = r + _chain_sum(tr, nb)
+        s = s + c1 * r
+    return (-beta / 3.0) * s
 
 
 def kinetic_energy(v: F3, nb: int) -> jax.Array:
@@ -373,34 +416,109 @@ def staples(x: F3, lat, nb: int, roll=None) -> F3:
     return stack_dirs(outs)
 
 
-def grad_action(x: F3, beta, lat, nb: int, roll=None) -> F3:
-    ua = mm(x, staples(x, lat, nb, roll))
-    return scale(projectTAH(ua), beta / 3.0)
+def force_and_traces(x: F3, beta, lat, nb: int, roll=None):
+    """(force, plaq_re_sum per chain) for the Wilson action, sharing the
+    plaquette products between the staple force and the action trace.
+
+    VALID FOR UNITARY LINKS ONLY (the physical domain — the down-staple
+    identity cancels U_v†U_v); `staples` remains the generic formula.
+    Identities (checked against `staples` on unitary fields in tests):
+      U_u(n) A_up_u(n)   = P_uv(n)
+      U_u(n) A_down_u(n) = [roll_{+v}(U_v† P_uv U_v)]†
+    Training gradients are unaffected by the off-manifold difference:
+    every map in the trajectory is group-preserving, so parameter
+    perturbations only probe tangential directions, where the two
+    formulations' derivatives coincide.
+    so the per-link U*A field needs 7 color-matmuls per plane (yuv, yvu,
+    P, U_v†PU_v, U_u†P†U_u) instead of 8 staple products + 4 applies,
+    and tr P comes free — the Hamiltonian's action term costs nothing
+    extra wherever the force is already evaluated.
+    """
+    if roll is None:
+        roll = make_roll(lat, nb)
+    n_dir = int(np.prod(lat)) * nb
+    ua = [None] * 4
+    tr_tot = None
+
+    def acc(u, f):
+        ua[u] = f if ua[u] is None else add(ua[u], f)
+
+    for u in range(1, 4):
+        for v in range(0, u):
+            xu = dir_slice(x, u, n_dir)
+            xv = dir_slice(x, v, n_dir)
+            yuv = mm(xu, roll_f(xv, -1, u, roll))
+            yvu = mm(xv, roll_f(xu, -1, v, roll))
+            p = mm(yuv, yvu, adj_b=True)
+            tr = p.re[0] + p.re[4] + p.re[8]
+            tr_tot = tr if tr_tot is None else tr_tot + tr
+            q = mm(mm(xv, p, adj_a=True), xv)            # U_v† P U_v
+            r = mm(mm(xu, p, adj_a=True, adj_b=True), xu)  # U_u† P† U_u
+            acc(u, add(p, adjoint(roll_f(q, 1, v, roll))))
+            acc(v, add(adjoint(p), adjoint(roll_f(r, 1, u, roll))))
+    force = scale(projectTAH(stack_dirs(ua)), beta / 3.0)
+    return force, _chain_sum(tr_tot, nb)
+
+
+def grad_action(x: F3, beta, lat, nb: int, roll=None,
+                c1: float = 0.0) -> F3:
+    """Force for UNITARY x (links on the group — see force_and_traces).
+    c1=0: closed-form shared-plaquette staple derivative. c1 != 0: autodiff
+    through the component action (torch-convention cotangent assembled
+    back into F3 and contracted as projectTAH(dS/dU . U†), matching the
+    reference's autograd route, lattice.py:299-308) — no AoS fallback."""
+    if c1 != 0.0:
+        def s_of(xf):
+            return jnp.sum(action(xf, beta, lat, nb, roll, c1=c1))
+        g = jax.grad(s_of)(x)
+        return projectTAH(mm(g, x, adj_b=True))
+    return force_and_traces(x, beta, lat, nb, roll)[0]
 
 
 def update_gauge(x: F3, p: F3, s: int = 2) -> F3:
     return mm(expm(p, s=s), x)
 
 
-def leapfrog(x: F3, v: F3, beta, eps, force: F3, lat, nb: int, roll=None):
+def leapfrog(x: F3, v: F3, beta, eps, force: F3, lat, nb: int, roll=None,
+             c1: float = 0.0):
     v1 = add(v, scale(force, -0.5 * eps))
     xp = update_gauge(x, scale(v1, eps))
-    f2 = grad_action(xp, beta, lat, nb, roll)
+    f2 = grad_action(xp, beta, lat, nb, roll, c1=c1)
     v2 = add(v1, scale(f2, -0.5 * eps))
     return xp, v2, f2
 
 
 def hmc_trajectory(x: F3, v: F3, beta, eps, nlf: int, lat, nb: int,
-                   roll=None):
+                   roll=None, c1: float = 0.0):
+    """nlf leapfrog steps; returns (x', v', dH). For the plain Wilson
+    action the plaquette traces ride along with every force evaluation
+    (force_and_traces), so the H terms cost no extra matmuls."""
     if roll is None:
         roll = make_roll(lat, nb)
-    f0 = grad_action(x, beta, lat, nb, roll)
+    if c1 != 0.0:
+        f0 = grad_action(x, beta, lat, nb, roll, c1=c1)
+
+        def body(carry, _):
+            x, v, f = carry
+            return leapfrog(x, v, beta, eps, f, lat, nb, roll, c1=c1), None
+
+        (xp, vp, _), _ = jax.lax.scan(body, (x, v, f0), None, length=nlf)
+        h0 = kinetic_energy(v, nb) + action(x, beta, lat, nb, roll, c1=c1)
+        h1 = kinetic_energy(vp, nb) + action(xp, beta, lat, nb, roll, c1=c1)
+        return xp, vp, h0 - h1
+
+    f0, tr0 = force_and_traces(x, beta, lat, nb, roll)
 
     def body(carry, _):
-        x, v, f = carry
-        return leapfrog(x, v, beta, eps, f, lat, nb, roll), None
+        x, v, f, _tr = carry
+        v1 = add(v, scale(f, -0.5 * eps))
+        xp = update_gauge(x, scale(v1, eps))
+        f2, tr2 = force_and_traces(xp, beta, lat, nb, roll)
+        v2 = add(v1, scale(f2, -0.5 * eps))
+        return (xp, v2, f2, tr2), None
 
-    (xp, vp, _), _ = jax.lax.scan(body, (x, v, f0), None, length=nlf)
-    h0 = kinetic_energy(v, nb) + action(x, beta, lat, nb, roll)
-    h1 = kinetic_energy(vp, nb) + action(xp, beta, lat, nb, roll)
+    (xp, vp, _, tr1), _ = jax.lax.scan(body, (x, v, f0, tr0), None,
+                                       length=nlf)
+    h0 = kinetic_energy(v, nb) + (-beta / 3.0) * tr0
+    h1 = kinetic_energy(vp, nb) + (-beta / 3.0) * tr1
     return xp, vp, h0 - h1

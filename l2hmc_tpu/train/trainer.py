@@ -66,6 +66,7 @@ class Trainer:
         self.dynamics = Dynamics(
             cfg.dynamics, cfg.network, cfg.net_weights, cfg.conv,
             dtype=self.dtype, net_compute_dtype=net_cd,
+            c1=getattr(cfg, "c1", 0.0),
         )
         self.lattice = self.dynamics.lattice
         self.loss_fn = LatticeLoss(self.lattice, cfg.loss)

@@ -15,6 +15,19 @@ from l2hmc_tpu.configs import DynamicsConfig, NetworkConfig
 from l2hmc_tpu.models.dynamics import Dynamics, State
 
 
+
+
+@pytest.fixture
+def eager():
+    """SU(3) component-engine graphs are ~40-60k eqns; CPU XLA needs
+    10-25 min per compile. The math is identical eagerly (op-by-op), so
+    SU(3) correctness tests run under jax.disable_jit() and finish in
+    seconds. Jit/compile coverage: test_jit_compatibility (U1),
+    test_su3_train_smoke under L2HMC_FULL_TESTS, and the TPU driver/
+    benchmarks (495 s measured TPU compile of the 4^4 train step)."""
+    with jax.disable_jit():
+        yield
+
 def make_u1_dynamics(nlf=3, lat=(4, 4), nchains=6, use_bn=True,
                      dropout=0.0, eps=0.1):
     cfg = DynamicsConfig(
@@ -57,7 +70,7 @@ def test_u1_reversibility():
     assert dv.max() < 1e-10
 
 
-def test_su3_reversibility():
+def test_su3_reversibility(eager):
     """Per-link masks make the SU(3) kernel exactly reversible (unlike the
     reference's per-entry masks)."""
     dyn, params, masks = make_su3_dynamics()
@@ -123,7 +136,7 @@ def test_hmc_energy_conservation_u1():
     assert acc.min() > 0.99
 
 
-def test_hmc_energy_conservation_su3():
+def test_hmc_energy_conservation_su3(eager):
     dyn, params, masks = make_su3_dynamics(lat=(2, 2, 2, 2), nchains=2)
     x = jax.jit(dyn.random_x)(jax.random.PRNGKey(12))
     _, metrics = jax.jit(dyn.apply_transition_hmc, static_argnames="nleapfrog")(
@@ -132,7 +145,7 @@ def test_hmc_energy_conservation_su3():
     assert acc.min() > 0.98
 
 
-def test_hmc_eps_scaling_su3():
+def test_hmc_eps_scaling_su3(eager):
     """dH scales ~ eps^4 per trajectory (leapfrog is 2nd order; dH ~
     eps^2 * T with T = nlf*eps fixed...). Just check bigger eps -> lower
     acceptance, confirming the force enters with the right sign/scale."""
@@ -176,7 +189,7 @@ def test_apply_transition_single_direction():
     assert xout.shape == x.shape
 
 
-def test_su3_kernel_preserves_unitarity_approximately():
+def test_su3_kernel_preserves_unitarity_approximately(eager):
     """After one fb transition the links should stay near SU(3) (the
     masked update is not an exact group operation; drift must be small)."""
     from l2hmc_tpu.ops import su3 as g
@@ -214,13 +227,13 @@ def test_jit_compatibility():
     assert out.shape == x.shape
 
 
-def test_su3_sumlogdet_convention():
+def test_su3_sumlogdet_convention(eager):
     """ADVICE r1: the SU(3) v-update sumlogdet reproduces the REFERENCE's
     convention — eps*s/2 counted once per complex matrix entry — while
     the true Jacobian over the 18 real dof per link is exactly 2x that
     (exp_s scales re and im separately; s,t,q depend only on (x, F), so
     dv'/dv is diagonal). This test documents the factor."""
-    from l2hmc_tpu.ops import su3_soa as soa
+    from l2hmc_tpu.ops import su3_comp as comp
 
     dyn, params, masks = make_su3_dynamics(nlf=1, lat=(2, 2, 1, 1),
                                            nchains=1)
@@ -229,21 +242,22 @@ def test_su3_sumlogdet_convention():
     vnet = jax.tree_util.tree_map(lambda a: a[0], params.vnets)
     eps = jnp.asarray(0.1, jnp.float64)
     beta = jnp.asarray(1.0, jnp.float64)
-    ix = dyn._x_to_soa(x)
-    iv = dyn._x_to_soa(v)
+    ix = dyn._x_to_comp(x)
+    iv = dyn._x_to_comp(v)
     force = dyn._grad_internal(ix, beta)
     _, logdet = dyn._update_v_su3(vnet, ix, iv, force, eps, +1, False, None)
 
-    n = iv.re.size
+    nl = iv.re[0].shape[0]   # links
+    n = 9 * nl
 
     def vmap_flat(v_flat):
-        vr = v_flat[:n].reshape(iv.re.shape)
-        vi = v_flat[n:].reshape(iv.im.shape)
+        vr = tuple(v_flat[c * nl:(c + 1) * nl] for c in range(9))
+        vi = tuple(v_flat[n + c * nl:n + (c + 1) * nl] for c in range(9))
         out = dyn._update_v_su3(
-            vnet, ix, soa.M3(vr, vi), force, eps, +1, False, None)[0]
-        return jnp.concatenate([out.re.ravel(), out.im.ravel()])
+            vnet, ix, comp.F3(vr, vi), force, eps, +1, False, None)[0]
+        return jnp.concatenate(list(out.re) + list(out.im))
 
-    vflat = jnp.concatenate([iv.re.ravel(), iv.im.ravel()])
+    vflat = jnp.concatenate(list(iv.re) + list(iv.im))
     jac = jax.jacfwd(vmap_flat)(vflat)
     sign, true_ld = jnp.linalg.slogdet(jac)
     assert float(sign) == 1.0

@@ -140,5 +140,5 @@ def test_lattice_class_api():
     assert lattice.action(x, beta).shape == (NB,)
     assert lattice.kinetic_energy(v).shape == (NB,)
     m = lattice.calc_metrics(x)
-    assert set(m) == {"plaqs", "intQ", "sinQ"}
+    assert set(m) == {"plaqs", "p4x4", "intQ", "sinQ"}
     assert lattice.plaqs_diff(beta, x).shape == (NB,)

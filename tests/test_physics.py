@@ -73,36 +73,66 @@ def test_su3_plaquette_matches_reference_oracle():
     in the action would pass every self-consistency test).
 
     Committed oracle: benchmarks/torch_su3_plaq_oracle.py (seed 0,
-    nb=4, nlf=25, eps=0.02, 60 therm + 120 meas trajectories):
-        plaq = 0.59155 +- 0.00034, acc = 0.965
-    (infinite-volume literature value at beta=6.0 is 0.59382; 4^4 sits
-    slightly below — both runs see the same finite-size shift.)
-    """
+    nb=4, nlf=25, eps=0.02, 100 therm + 80 meas trajectories, det-fixed
+    start — see the script's docstring for the U(3)-determinant bug this
+    test caught in the oracle's first recording):
+        plaq = 0.59623 +- 0.00038, acc = 0.965
+    This engine's long-run converged value (600 trajectories, 8 chains):
+        plaq = 0.59707 +- 0.00017
+    Infinite-volume literature at beta=6.0 is 0.59382; the 4^4 periodic
+    box sits ~0.003 above it (finite-size shift, consistent across both
+    implementations).
+
+    The sampler here runs through the SoA engine (ops/su3_soa) whose
+    5.4k-eqn graph compiles in ~1 min on CPU; the production component
+    engine (ops/su3_comp) is tied to it bit-for-bit by
+    tests/test_su3_comp.py, so the physics assertion covers both."""
     import jax
     import jax.numpy as jnp
-    from l2hmc_tpu.configs import get_config
-    from l2hmc_tpu.train.trainer import Trainer
+    from l2hmc_tpu.ops import su3 as g
+    from l2hmc_tpu.ops import su3_soa as soa
 
-    cfg = get_config([
-        "dynamics.nchains=4",
-        "dynamics.latvolume=[4, 4, 4, 4]",
-        "dynamics.nleapfrog=25",
-        "dynamics.merge_directions=false",
-        "network.units=[4]",
-    ], group="SU3")
-    trainer = Trainer(cfg)
+    # the torch oracle's exact sampling parameters (its near-identity
+    # start equilibrates from above; a hot start needs O(100) more
+    # trajectories and an exact-identity start freezes: dH ~ -11 on the
+    # first trajectories rejects everything)
+    lat, nb, nlf, beta, eps = (4, 4, 4, 4), 4, 25, 6.0, 0.02
     key = jax.random.PRNGKey(0)
-    x = trainer._random_x(key)
-    beta, eps = 6.0, 0.02
+    k_init, key = jax.random.split(key)
+    noise = (0.1 * jax.random.normal(
+        k_init, (nb, 4, *lat, 3, 3), dtype=jnp.float64)
+        + 0.1j * jax.random.normal(
+            jax.random.fold_in(k_init, 1), (nb, 4, *lat, 3, 3),
+            dtype=jnp.float64))
+    x_aos = jax.jit(g.projectSU)(jnp.eye(3, dtype=jnp.complex128) + noise)
+    xs = soa.from_complex(jnp.moveaxis(x_aos, 0, -3))
+
+    @jax.jit
+    def hmc(xs, key):
+        k_v, k_u = jax.random.split(key)
+        vs = soa.random_momentum(k_v, (4, *lat, nb), dtype=jnp.float64)
+        xp, vp, dh = soa.hmc_trajectory(xs, vs, beta, eps, nlf)
+        acc = jnp.exp(jnp.minimum(dh, 0.0))
+        u = jax.random.uniform(k_u, acc.shape, dtype=acc.dtype)
+        mask = (acc > u).astype(jnp.float64)
+        m = mask  # (nb,) -> broadcast over (3,3,d,t,x,y,z,nb)
+        x_out = soa.M3(m * xp.re + (1 - m) * xs.re,
+                       m * xp.im + (1 - m) * xs.im)
+        re_tot, _ = soa.plaq_traces(x_out)
+        vol = lat[0] * lat[1] * lat[2] * lat[3]
+        plaq = (jnp.sum(re_tot, axis=tuple(range(re_tot.ndim - 1)))
+                / (6 * 3 * vol))
+        return x_out, mask, plaq
+
     accs, plaqs = [], []
-    for step in range(100):
+    for step in range(150):
         key, k = jax.random.split(key)
-        x, m = trainer.hmc_step(x, beta, k, eps)
-        if step >= 40:
-            accs.append(float(np.mean(np.asarray(m["acc_mask"]))))
-            plaqs.append(float(np.mean(np.asarray(m["plaqs"]))))
+        xs, mask, plaq = hmc(xs, k)
+        if step >= 60:
+            accs.append(float(np.mean(np.asarray(mask))))
+            plaqs.append(float(np.mean(np.asarray(plaq))))
     plaq = float(np.mean(plaqs))
     err = float(np.std(plaqs) / np.sqrt(len(plaqs)))
-    assert np.mean(accs) > 0.8
-    # tolerance: both MC errors + autocorrelation slack
-    assert abs(plaq - 0.59155) < 0.004, (plaq, err)
+    assert np.mean(accs) > 0.7
+    # tolerance: both MC errors + residual-thermalization slack
+    assert abs(plaq - 0.59623) < 0.005, (plaq, err)

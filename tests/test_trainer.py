@@ -76,9 +76,11 @@ def test_training_improves_loss_u1():
 
 
 def test_su3_train_smoke():
-    """The SU(3) SoA training graph compiles in ~90s on CPU since the
-    einsum-mm rewrite (round 2; was >1h unrolled) — in the default suite,
-    cached across runs via tests/.jax_cache."""
+    """Full SU(3) train step (value_and_grad through the component
+    engine), run EAGERLY — identical math, no XLA compile (the 61k-eqn
+    AD graph takes 10-25 min of CPU XLA; the TPU toolchain compiles it
+    in 495 s, exercised by the driver/bench). Set L2HMC_FULL_TESTS=1 to
+    additionally compile it here."""
     cfg = get_config([
         "dynamics.nchains=2",
         "dynamics.latvolume=[2, 2, 2, 2]",
@@ -90,8 +92,13 @@ def test_su3_train_smoke():
         "annealing_schedule.beta_final=6.0",
     ], group="SU3")
     trainer = Trainer(cfg)
-    ts, x = trainer.init_state(jax.random.PRNGKey(7))
-    ts, x, m = trainer.train_step(ts, x, 6.0, jax.random.PRNGKey(8))
+    import contextlib
+    ctx = (contextlib.nullcontext()
+           if os.environ.get("L2HMC_FULL_TESTS") == "1"
+           else jax.disable_jit())
+    with ctx:
+        ts, x = trainer.init_state(jax.random.PRNGKey(7))
+        ts, x, m = trainer.train_step(ts, x, 6.0, jax.random.PRNGKey(8))
     assert np.isfinite(float(m["loss"]))
     acc = np.asarray(m["acc"])
     assert np.all((acc >= 0) & (acc <= 1))
