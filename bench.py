@@ -23,10 +23,16 @@ used for %: v5e ~197e3 GFLOP/s bf16 MXU (the kernel is f32 VPU work, so
 MXU-% is an upper bound on how far the FLOP path could go) and ~819
 GB/s HBM. See "bound" per row for which roof (if any) binds.
 
+Sampler-efficiency metrics (BASELINE.json: "leapfrog MD steps/sec/chip;
+ESS per MD step; acceptance rate"): the head row reports acceptance plus
+tau_int / ESS-per-MD-step of the plaquette series (Madras-Sokal,
+utils/autocorr.chain_stats) over the thermalized timing draws.
+
 `python bench.py --u1` reports 2D U(1) *training* throughput against the
 reference's published A100 number (BASELINE.md: ~0.093 s/step at 2048
 chains, 16x16, nlf=4 merged => ~1.76e5 chain-lf-evals/s).
-`python bench.py --rows` adds the secondary SU(3) rows (128 chains, 8^4).
+The default SU(3) output always includes the utilization rows (128
+chains = VPU saturation; 8^4 = large volume) — VERDICT r2 #2.
 """
 import json
 import sys
@@ -65,7 +71,7 @@ def _cost(compiled):
 
 
 def bench_su3_at(nchains: int, L: int, K: int = 50, nlf_half: int = 5,
-                 eps0: float = 0.01):
+                 eps0: float = 0.01, ess: bool = False):
     from l2hmc_tpu.configs import get_config
     from l2hmc_tpu.train.trainer import Trainer
     from l2hmc_tpu.utils.sync import sync
@@ -89,10 +95,10 @@ def bench_su3_at(nchains: int, L: int, K: int = 50, nlf_half: int = 5,
         def body(carry, k):
             x, _ = carry
             x2, m = trainer._hmc_step_impl(x, beta, k, eps)
-            return (x2, jnp.mean(m["acc"])), None
+            return (x2, jnp.mean(m["acc"])), m["plaqs"]
         keys = jax.random.split(key, K)
-        (x, acc), _ = jax.lax.scan(body, (x, jnp.float32(0)), keys)
-        return x, acc
+        (x, acc), plaqs = jax.lax.scan(body, (x, jnp.float32(0)), keys)
+        return x, acc, plaqs  # plaqs: (K, nchains) per-draw series
 
     multi = jax.jit(multi_fn)
     compiled = multi.lower(x, jax.random.PRNGKey(1)).compile()
@@ -106,14 +112,18 @@ def bench_su3_at(nchains: int, L: int, K: int = 50, nlf_half: int = 5,
     flops = 82 * 216 * V * nchains * K * nlf
 
     # thermalize: 4 x K MD steps from the cold start (also warms compile)
+    series = []
     for i in range(4):
-        x, acc = multi(x, jax.random.PRNGKey(10 + i))
+        x, acc, plaqs = multi(x, jax.random.PRNGKey(10 + i))
+        if i >= 2:           # keep the equilibrated half for autocorr
+            series.append(plaqs)
     sync(x)
     rt = _roundtrip()
     t0 = time.perf_counter()
-    x, acc = multi(x, jax.random.PRNGKey(2))
+    x, acc, plaqs = multi(x, jax.random.PRNGKey(2))
     sync(x)
     elapsed = time.perf_counter() - t0 - rt
+    series.append(plaqs)
     rate = K * nlf / elapsed
     out = {
         "md_steps_per_sec": round(rate, 1),
@@ -121,6 +131,15 @@ def bench_su3_at(nchains: int, L: int, K: int = 50, nlf_half: int = 5,
         "nchains": nchains,
         "L": L,
     }
+    if ess:
+        # ESS per MD step of the plaquette series (BASELINE.json metric);
+        # draws are trajectories, so scale by nlf MD steps per draw
+        import numpy as np
+        from l2hmc_tpu.utils.autocorr import chain_stats
+        s = np.concatenate([np.asarray(p) for p in series], 0).T
+        cs = chain_stats(s)
+        out["tau_int_plaq"] = round(cs["tau_int"], 2)
+        out["ess_per_md_step"] = round(cs["ess_per_step"] / nlf, 5)
     gflops = flops / elapsed / 1e9
     out["gflops"] = round(gflops, 1)
     out["pct_mxu_peak"] = round(100.0 * gflops / V5E_PEAK_BF16_GFLOPS, 3)
@@ -134,8 +153,8 @@ def bench_su3_at(nchains: int, L: int, K: int = 50, nlf_half: int = 5,
     return out
 
 
-def bench_su3(extra_rows: bool = False):
-    head = bench_su3_at(8, 4)
+def bench_su3(extra_rows: bool = True):
+    head = bench_su3_at(8, 4, ess=True)
     result = {
         "metric": "su3_4x4x4x4_leapfrog_md_steps_per_sec_per_chip",
         "value": head["md_steps_per_sec"],
@@ -143,12 +162,16 @@ def bench_su3(extra_rows: bool = False):
                  f"thermalized, acc={head['acc']:.2f})"),
         "vs_baseline": round(
             head["md_steps_per_sec"] / TORCH_CPU_SU3_MD_STEPS_PER_SEC, 1),
+        "acceptance": head["acc"],
     }
-    for k in ("gflops", "pct_mxu_peak", "hbm_gbps", "pct_hbm_peak", "bound"):
+    for k in ("tau_int_plaq", "ess_per_md_step", "gflops", "pct_mxu_peak",
+              "hbm_gbps", "pct_hbm_peak", "bound"):
         if k in head:
             result[k] = head[k]
     if extra_rows:
         result["rows"] = [
+            # utilization rows (VERDICT r2 #2): 128 chains saturates the
+            # VPU; 8^4 is the large-volume regime.
             bench_su3_at(128, 4),
             # dH ~ eps^2 * V: halve eps at 16x the volume to keep the
             # sampler in a sane acceptance regime
@@ -204,7 +227,7 @@ def main():
     if "--u1" in sys.argv:
         result = bench_u1()
     else:
-        result = bench_su3(extra_rows="--rows" in sys.argv)
+        result = bench_su3(extra_rows="--head-only" not in sys.argv)
     print(json.dumps(result))
     return 0
 

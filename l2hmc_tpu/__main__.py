@@ -58,6 +58,22 @@ def main(argv=None):
         else:
             overrides.append(a)
 
+    # Honor JAX_PLATFORMS / --xla_force_host_platform_device_count from
+    # the environment through the config knobs: TPU plugins can ignore
+    # the env vars (the axon plugin does), and running multi-chip
+    # configs on a virtual CPU mesh (mesh_shape=[d, l] with
+    # JAX_PLATFORMS=cpu) is the documented way to exercise sharded
+    # training without a pod (SURVEY.md §4).
+    import os as _os
+    import re as _re
+    if _os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        m = _re.search(r"host_platform_device_count=(\d+)",
+                       _os.environ.get("XLA_FLAGS", ""))
+        if m and _os.environ["JAX_PLATFORMS"] == "cpu":
+            jax.config.update("jax_num_cpu_devices", int(m.group(1)))
+
     # x64 must flip before any array is created. Normalize the requested
     # precision through the synonym table so e.g. precision=single/half/
     # bf16 correctly keeps x64 off (ADVICE r1: the old '32'-substring

@@ -240,6 +240,12 @@ class ExperimentConfig(BaseConfig):
     # parallelism: number of devices along the chain ('data') mesh axis;
     # None = all visible devices
     ndevices: Optional[int] = None
+    # 2-D (data, lattice) mesh shape, e.g. [2, 4]: chains shard over the
+    # first axis AND the lattice t-axis over the second (SU(3) only —
+    # parallel/sharded_train.py). None/[n, 1] = 1-D data parallelism.
+    # The reference has no counterpart (it replicates the lattice per
+    # rank, reference configs.py:496-518).
+    mesh_shape: Optional[Sequence[int]] = None
     compile: bool = True
     framework: str = "jax"
     backend: str = "shard_map"

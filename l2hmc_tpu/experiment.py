@@ -31,7 +31,16 @@ class Experiment:
     def __init__(self, cfg: ExperimentConfig):
         self.cfg = cfg
         self.mesh = None
-        if cfg.ndevices is None or cfg.ndevices > 1:
+        if cfg.mesh_shape is not None and len(cfg.mesh_shape) == 2 \
+                and cfg.mesh_shape[1] > 1:
+            # 2-D (data, lattice) mesh: lattice-domain-decomposed SU(3)
+            # training (parallel/sharded_train.py; BASELINE configs #4/#5)
+            from l2hmc_tpu.parallel.lattice_sharded import make_mesh_2d
+            n_data, n_lat = int(cfg.mesh_shape[0]), int(cfg.mesh_shape[1])
+            self.mesh = make_mesh_2d(n_data, n_lat)
+        elif cfg.mesh_shape is not None and len(cfg.mesh_shape) == 2:
+            self.mesh = pmesh.make_mesh(int(cfg.mesh_shape[0]))
+        elif cfg.ndevices is None or cfg.ndevices > 1:
             try:
                 ndev = cfg.ndevices or len(jax.devices())
                 if ndev > 1 and cfg.dynamics.nchains % ndev == 0:
@@ -74,7 +83,10 @@ class Experiment:
                     # single-device key conflicts with mesh-sharded x at
                     # jit dispatch
                     self.key = np.asarray(restored["key"])
-                    if self.mesh is not None:
+                    if self.trainer.sharded is not None:
+                        self._ts = pmesh.replicate(self.mesh, self._ts)
+                        self._x = self.trainer.sharded.shard(self._x)
+                    elif self.mesh is not None:
                         self._ts = pmesh.replicate(self.mesh, self._ts)
                         self._x = pmesh.shard_chains(self.mesh, self._x)
                     self._start_era = int(restored["era"]) + 1
@@ -82,6 +94,10 @@ class Experiment:
                     hpath = os.path.join(self.outdir, "train_history.npz")
                     if os.path.exists(hpath):
                         self.trainer.histories["train"].load(hpath)
+                    cpath = os.path.join(self.outdir, "controllers.json")
+                    if os.path.exists(cpath):
+                        with open(cpath) as f:
+                            self.trainer.restore_controllers(json.load(f))
                     log.info(
                         f"restored checkpoint: resuming at era "
                         f"{self._start_era} (beta={self._beta_init:.3f})")
@@ -96,6 +112,14 @@ class Experiment:
         ckpt.save_checkpoint(self.outdir, int(ts.step), tree)
         ckpt.save_eps_txt(self.outdir, ts.params)
         self.trainer.histories["train"].save(self.outdir, "train")
+        # host-side controller memory (plateau LR / dynamic annealer) —
+        # VERDICT r2 #6: without this a resumed run silently resets its
+        # LR-decay and beta-controller state
+        cstate = self.trainer.controller_state()
+        if cstate:
+            with open(os.path.join(self.outdir, "controllers.json"),
+                      "w") as f:
+                json.dump(cstate, f)
 
     def train(self, max_eras=None):
         ts, x = self.setup()

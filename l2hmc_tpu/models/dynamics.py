@@ -207,10 +207,9 @@ class Dynamics:
 
     # ------------------------------------------------------------------
     # Internal representation: SU(3) runs the whole trajectory in the
-    # component-flat engine (ops/su3_comp — 9+9 1-D arrays per field;
-    # the complex (...,3,3) AoS layout wastes ~99% of each TPU vector
-    # tile and even the color-stacked SoA layout wastes the 128-lane
-    # minor dim whenever nchains < 128; measured 26 -> 945 GFLOP/s).
+    # stacked-component engine (ops/su3_comp — re/im (3, 3, *batch)
+    # arrays with the flat link batch folded to full vector tiles; the
+    # complex (...,3,3) AoS layout wastes ~99% of each TPU vector tile).
     # U(1) stays flat. Conversions happen once per kernel invocation.
     # ------------------------------------------------------------------
     def _x_to_comp(self, x: jax.Array) -> "comp.F3":
@@ -219,7 +218,7 @@ class Dynamics:
     def _comp_nb(self, f: "comp.F3") -> int:
         """Chain count from the flat component length (eval runs with
         fewer chains than config.nchains)."""
-        return f.re[0].shape[0] // (4 * self.lattice.volume)
+        return comp.batch_size(f) // (4 * self.lattice.volume)
 
     def _x_from_comp(self, f: "comp.F3") -> jax.Array:
         return comp.to_complex_lattice(
@@ -272,20 +271,21 @@ class Dynamics:
         return (self.lattice.kinetic_energy(iv)
                 + self.lattice.action(ix, beta))
 
-    def _vec_flatten(self, coords) -> jax.Array:
-        """Tuple of 8 flat (4*V*nb,) coord arrays -> (nb, 8*4*V) in the
-        (8, d, t, x, y, z) feature order the vnet was initialized with."""
-        nb = coords[0].shape[0] // (4 * self.lattice.volume)
-        c = jnp.stack(coords)                  # (8, 4*V*nb)
+    def _vec_flatten(self, coords: jax.Array) -> jax.Array:
+        """(8, *batch) coord array (batch flat = 4*V*nb in (d, lat, nb)
+        order) -> (nb, 8*4*V) in the (8, d, t, x, y, z) feature order the
+        vnet was initialized with."""
+        c = coords.reshape(8, -1)
+        nb = c.shape[1] // (4 * self.lattice.volume)
         c = c.reshape(8, -1, nb)               # (8, 4V, nb)
         return jnp.transpose(c, (2, 0, 1)).reshape(nb, -1)
 
-    def _stq_to_comp(self, a: jax.Array):
-        """Real head output (nb, 4*vol*9) -> 9 flat (4*V*nb,) per-entry
-        fields (one transpose; entries ordered (d, t, x, y, z, nb))."""
+    def _stq_to_comp(self, a: jax.Array) -> jax.Array:
+        """Real head output (nb, 4*vol*9) -> stacked (3, 3, *batch)
+        per-entry field (one transpose; batch ordered (d, lat, nb))."""
         nb = a.shape[0]
-        at = jnp.transpose(a.reshape(nb, -1, 9), (1, 2, 0))   # (4V, 9, nb)
-        return tuple(at[:, c, :].reshape(-1) for c in range(9))
+        at = jnp.transpose(a.reshape(nb, -1, 3, 3), (2, 3, 1, 0))
+        return at.reshape(3, 3, *comp.fold_shape(at.shape[2] * nb))
 
     # ------------------------------------------------------------------
     # Physics helpers
@@ -476,14 +476,12 @@ class Dynamics:
         exp_s = self._stq_to_comp(jnp.exp(logjac))
         exp_q = self._stq_to_comp(jnp.exp(eps * q))
         t_ = self._stq_to_comp(t)
-        fn_re = tuple(force.re[c] * exp_q[c] + t_[c] for c in range(9))
-        fn_im = tuple(force.im[c] * exp_q[c] for c in range(9))
+        fn_re = force.re * exp_q + t_
+        fn_im = force.im * exp_q
         half = 0.5 * eps
         fwd = direction > 0
-        w = tuple(jnp.where(fwd, -half, half * exp_s[c]) for c in range(9))
-        vf = comp.F3(
-            tuple(exp_s[c] * v.re[c] + w[c] * fn_re[c] for c in range(9)),
-            tuple(exp_s[c] * v.im[c] + w[c] * fn_im[c] for c in range(9)))
+        w = jnp.where(fwd, -half, half * exp_s)
+        vf = comp.F3(exp_s * v.re + w * fn_re, exp_s * v.im + w * fn_im)
         return vf, logdet
 
     def _update_x_su3(self, x: "comp.F3", v: "comp.F3", m, eps,
@@ -494,15 +492,15 @@ class Dynamics:
         per-link mask broadcasts over the 3x3 block, so
         exp(eps v) @ ((1-m) x) touches exactly the (1-m) links and the
         update inverts exactly."""
-        nb = x.re[0].shape[0] // (4 * self.lattice.volume)
-        # m: (4*vol,) per-link -> flat (4*vol*nb,) in (link, nb) order
+        nb = self._comp_nb(x)
+        # m: (4*vol,) per-link -> flat (4*vol*nb,) in (link, nb) order,
+        # reshaped to x's batch so it broadcasts against (3, 3, *batch)
         mflat = jnp.broadcast_to(
             m[:, None].astype(self.real_dtype), (m.shape[0], nb)
-        ).reshape(-1)
+        ).reshape(x.batch)
         mb = 1.0 - mflat
         sign = direction * eps   # works for python and traced +-1
-        mbx = comp.F3(tuple(mb * x.re[c] for c in range(9)),
-                      tuple(mb * x.im[c] for c in range(9)))
+        mbx = comp.F3(mb * x.re, mb * x.im)
         # eps is trainable (sigmoid-bounded < 1) and |v|_F ~ 2.8 for
         # thermal TAH momenta, so |eps*v|_F can reach ~2.8 if training
         # drives eps up; two scaling-squaring halvings keep the order-8
@@ -511,9 +509,7 @@ class Dynamics:
         if drift is None:
             drift = comp.expm(comp.scale(v, sign), order=8, s=2)
         upd = comp.mm(drift, mbx)
-        xf = comp.F3(
-            tuple(mflat * x.re[c] + upd.re[c] for c in range(9)),
-            tuple(mflat * x.im[c] + upd.im[c] for c in range(9)))
+        xf = comp.F3(mflat * x.re + upd.re, mflat * x.im + upd.im)
         logdet = jnp.zeros((nb,), dtype=self.real_dtype)
         return xf, logdet, drift
 
@@ -521,23 +517,23 @@ class Dynamics:
     # Leapfrog steps (with force carried across the step boundary)
     # ------------------------------------------------------------------
     def _lf_step(self, carry, step_inputs, direction: int, training: bool,
-                 base_key):
+                 base_key, shared_nets=(None, None, None)):
         """One generalized leapfrog step (fwd: dynamics.py:1187-1206,
-        bwd: :1208-1228). carry = (x, v, force, sumlogdet)."""
+        bwd: :1208-1228). carry = (x, v, force, sumlogdet).
+
+        shared_nets = (vnet, xnet0, xnet1) params closed over by the
+        caller when use_separate_networks is off (per-step params ride
+        the scan's xs otherwise) — VERDICT r2 #10: threading them as
+        arguments keeps the kernel pure (no instance-state smuggling
+        through traced code)."""
         x, v, force, sumlogdet, beta = carry
         eps_x = _sigmoid(step_inputs["xeps"])
         eps_v = _sigmoid(step_inputs["veps"])
         m = step_inputs["mask"]
         idx = step_inputs["idx"]
-        vnet = step_inputs.get("vnet", None)
-        if vnet is None:
-            vnet = self._params_vnets
-        xnet0 = step_inputs.get("xnet0", None)
-        xnet1 = step_inputs.get("xnet1", None)
-        if xnet0 is None:
-            xnet0 = self._params_xnets_first
-        if xnet1 is None:
-            xnet1 = self._params_xnets_second
+        vnet = step_inputs.get("vnet", shared_nets[0])
+        xnet0 = step_inputs.get("xnet0", shared_nets[1])
+        xnet1 = step_inputs.get("xnet1", shared_nets[2])
 
         def dkey(j):
             if not training or self.network_config.dropout_prob <= 0:
@@ -577,7 +573,8 @@ class Dynamics:
         sumlogdet = sumlogdet + ld
         return (x2, v2, force2, sumlogdet, beta)
 
-    def _su3_lf_step(self, carry, si, training, base_key):
+    def _su3_lf_step(self, carry, si, training, base_key,
+                     shared_vnet=None):
         """One SU(3) generalized leapfrog step with the direction as a
         TRACED per-step input: the merged fwd+bwd trajectory becomes a
         single scan whose body is traced (and differentiated) once —
@@ -592,9 +589,7 @@ class Dynamics:
         eps_x = _sigmoid(si["xeps"])
         eps_v = _sigmoid(si["veps"])
         m1 = si["mask"]
-        vnet = si.get("vnet", None)
-        if vnet is None:
-            vnet = self._params_vnets
+        vnet = si.get("vnet", shared_vnet)
 
         def dkey(j):
             if not training or self.network_config.dropout_prob <= 0:
@@ -623,7 +618,7 @@ class Dynamics:
         """Unified SU(3) trajectory scan over an arbitrary step schedule
         (idx_order into the per-step params, dirs = +-1, flips marks the
         momentum reversal)."""
-        self._params_vnets = (
+        shared_vnet = (
             None if self.config.use_separate_networks else params.vnets)
         io = jnp.asarray(idx_order)
         dirs_a = jnp.asarray(dirs, self.real_dtype)
@@ -648,7 +643,8 @@ class Dynamics:
             tr0 = jnp.zeros((self._comp_nb(ix),), self.real_dtype)
 
         def body(carry, si):
-            new_carry = self._su3_lf_step(carry, si, training, base_key)
+            new_carry = self._su3_lf_step(carry, si, training, base_key,
+                                          shared_vnet=shared_vnet)
             if self.config.verbose:
                 x_, v_, tr_, s_, beta_ = (new_carry[0], new_carry[1],
                                           new_carry[3], new_carry[4],
@@ -690,13 +686,13 @@ class Dynamics:
                         training, base_key, sumlogdet):
         """Scan nlf leapfrog steps in one direction over the INTERNAL
         representation (SoA for SU(3), flat arrays for U(1))."""
-        # stash shared nets for closure fallback (not traced through xs)
-        self._params_vnets = (
-            None if self.config.use_separate_networks else params.vnets)
-        self._params_xnets_first = (
-            None if self.config.use_separate_networks else params.xnets_first)
-        self._params_xnets_second = (
-            None if self.config.use_separate_networks else params.xnets_second)
+        # shared (non-separate) nets ride the step closure, not the
+        # scan's xs (they are step-invariant) — VERDICT r2 #10
+        if self.config.use_separate_networks:
+            shared_nets = (None, None, None)
+        else:
+            shared_nets = (params.vnets, params.xnets_first,
+                           params.xnets_second)
 
         xs = self._make_xs(params, masks, reverse=(direction < 0))
         ix, iv, beta = istate
@@ -708,7 +704,8 @@ class Dynamics:
         # not memory-bound and remat would double its (already large)
         # unrolled-SoA compile, so only U(1) remats
         step_fn = lambda carry, si: self._lf_step(carry, si, direction,
-                                                  training, base_key)
+                                                  training, base_key,
+                                                  shared_nets)
         lf_step = jax.checkpoint(step_fn) if self.group == "U1" else step_fn
 
         def body(carry, step_inputs):

@@ -40,7 +40,11 @@ def make_mesh_2d(n_data: int, n_lattice: int,
                  devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
-    assert len(devices) >= n_data * n_lattice
+    assert len(devices) >= n_data * n_lattice, (
+        f"mesh_shape=({n_data}, {n_lattice}) needs "
+        f"{n_data * n_lattice} devices but only {len(devices)} are "
+        f"visible; on a dev box run with JAX_PLATFORMS=cpu "
+        f"XLA_FLAGS=--xla_force_host_platform_device_count=N")
     arr = np.asarray(devices[: n_data * n_lattice]).reshape(
         n_data, n_lattice)
     return Mesh(arr, axis_names=("data", "lattice"))
@@ -203,4 +207,4 @@ class ShardedLatticeSU3:
         mask = (acc > u).astype(x.real.dtype)
         m = mask.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
         x_out = m * xp + (1.0 - m) * x
-        return x_out, {"acc": acc, "dh": dh}
+        return x_out, {"acc": acc, "acc_mask": mask, "dh": dh}

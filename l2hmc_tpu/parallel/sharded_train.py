@@ -50,8 +50,8 @@ from l2hmc_tpu.configs import ExperimentConfig
 from l2hmc_tpu.models import networks as net
 from l2hmc_tpu.models.dynamics import Dynamics, DynamicsParams
 from l2hmc_tpu.ops import su3 as g
-from l2hmc_tpu.ops import su3_soa as soa
-from l2hmc_tpu.parallel.halo import make_sharded_roll
+from l2hmc_tpu.ops import su3_comp as comp
+from l2hmc_tpu.parallel.halo import roll_halo
 from l2hmc_tpu.parallel.lattice_sharded import X_SPEC, make_mesh_2d
 
 try:
@@ -79,6 +79,27 @@ def _slice_t(a: jax.Array, axis: int, t_global: int, n_shards: int,
     return jax.lax.dynamic_slice(a, starts, sizes)
 
 
+def make_sharded_comp_roll(lat_local, nb: int, axis_name: str = "lattice"):
+    """comp-engine roll over LOCAL lattice extents: the t axis (axis 0,
+    sharded over `axis_name`) halo-exchanges a one-slab ppermute
+    (parallel/halo.py); the unsharded axes are plain local rolls. Same
+    reshape discipline as ops/su3_comp.make_roll."""
+    lat = tuple(lat_local)
+
+    def roll(a: jax.Array, shift: int, axis: int) -> jax.Array:
+        pre = int(np.prod(lat[:axis])) if axis > 0 else 1
+        L = lat[axis]
+        post = int(np.prod(lat[axis + 1:])) * nb
+        v = a.reshape(3, 3, pre, L, post)
+        if axis == 0:
+            out = roll_halo(v, shift, 3, axis_name)
+        else:
+            out = jnp.roll(v, shift, axis=3)
+        return out.reshape(a.shape)
+
+    return roll
+
+
 class ShardedTrainerSU3:
     """Jitted sharded train/eval steps over a ('data', 'lattice') mesh.
 
@@ -87,7 +108,8 @@ class ShardedTrainerSU3:
     SU(3) leapfrog kernel per-shard.
     """
 
-    def __init__(self, cfg: ExperimentConfig, mesh: Mesh):
+    def __init__(self, cfg: ExperimentConfig, mesh: Mesh,
+                 tx: Optional[Any] = None):
         assert cfg.dynamics.group == "SU3"
         assert not cfg.network.use_batch_norm, (
             "BN under the 2-D mesh is not wired yet (needs pmean over "
@@ -101,8 +123,12 @@ class ShardedTrainerSU3:
         self.n_data = mesh.shape["data"]
         self.lat = tuple(cfg.dynamics.latvolume)
         self.T = self.lat[0]
-        assert self.T % self.n_lat == 0
-        assert cfg.dynamics.nchains % self.n_data == 0
+        assert self.T % self.n_lat == 0, (
+            f"lattice t extent {self.T} must divide the 'lattice' mesh "
+            f"axis ({self.n_lat})")
+        assert cfg.dynamics.nchains % self.n_data == 0, (
+            f"nchains {cfg.dynamics.nchains} must divide the 'data' "
+            f"mesh axis ({self.n_data})")
         self.vol = int(np.prod(self.lat))
         self.xyz = self.vol // self.T
         self.nlf = cfg.dynamics.nleapfrog
@@ -114,15 +140,27 @@ class ShardedTrainerSU3:
                                  cfg.conv, dtype=self.dtype)
         from l2hmc_tpu.models.loss import LatticeLoss
         self.loss_cfg = cfg.loss
-        lr = cfg.learning_rate
-        chain = []
-        if lr.clip_norm and lr.clip_norm > 0:
-            chain.append(optax.clip_by_global_norm(lr.clip_norm))
-        chain.append(optax.adam(lr.lr_init))
-        self.tx = optax.chain(*chain)
+        if tx is not None:
+            # share the host Trainer's optimizer (incl. the
+            # inject_hyperparams adam the ReduceLROnPlateau controller
+            # rewrites) so 1-D and 2-D paths train identically
+            self.tx = tx
+        else:
+            lr = cfg.learning_rate
+            chain = []
+            if lr.clip_norm and lr.clip_norm > 0:
+                chain.append(optax.clip_by_global_norm(lr.clip_norm))
+            chain.append(optax.adam(lr.lr_init))
+            self.tx = optax.chain(*chain)
 
         self.x_sharding = NamedSharding(mesh, X_SPEC)
-        self._soa_roll = make_sharded_roll("lattice", 2)  # (3,3,t,...) t=2
+        self.t_local = self.T // self.n_lat
+        self.nb_local = cfg.dynamics.nchains // self.n_data
+        self.lat_local = (self.t_local, *self.lat[1:])
+        self.vol_local = int(np.prod(self.lat_local))
+        self._comp_roll = make_sharded_comp_roll(self.lat_local,
+                                                 self.nb_local)
+        self._lat_sharded = None   # lazy ShardedLatticeSU3 for plain HMC
         self._jit = {}
 
     # ------------------------------------------------------------------
@@ -143,6 +181,14 @@ class ShardedTrainerSU3:
 
     def shard(self, x: jax.Array) -> jax.Array:
         return jax.device_put(x, self.x_sharding)
+
+    def random_x(self, key: jax.Array) -> jax.Array:
+        """Fresh Haar-ish lattice draw, already laid out on the mesh
+        (bit-identical values to Dynamics.random_x)."""
+        if "rx" not in self._jit:
+            self._jit["rx"] = jax.jit(self.dynamics.random_x,
+                                      out_shardings=self.x_sharding)
+        return self._jit["rx"](key)
 
     # ------------------------------------------------------------------
     # Per-shard network application (tensor-parallel LeapfrogLayer)
@@ -197,139 +243,165 @@ class ShardedTrainerSU3:
         return s, t, q
 
     # ------------------------------------------------------------------
-    # Per-shard kernel pieces (SoA fields with local t extent)
+    # Per-shard kernel pieces (comp-engine fields with local t extent)
     # ------------------------------------------------------------------
-    def _x_to_soa(self, x):
-        return soa.from_complex(jnp.moveaxis(x, 0, -3))
+    def _to_comp(self, x):
+        return comp.from_complex_lattice(x)
 
-    def _x_from_soa(self, m):
-        return jnp.moveaxis(soa.to_complex(m), -3, 0)
+    def _from_comp(self, f):
+        return comp.to_complex_lattice(f, self.lat_local, self.nb_local,
+                                       self.dtype)
 
     def _vec_flat(self, vec):
-        # (8, d, t_l, x, y, z, nb_l) -> (nb_l, 8*4*t_l*xyz)
-        return jnp.moveaxis(vec, -1, 0).reshape(vec.shape[-1], -1)
+        # (8, *batch) with flat batch (d, t_l, xyz, nb_l)
+        #   -> (nb_l, 8*4*t_l*xyz)
+        c = vec.reshape(8, -1, self.nb_local)
+        return jnp.transpose(c, (2, 0, 1)).reshape(self.nb_local, -1)
 
-    def _stq_to_soa(self, a, t_local):
+    def _stq_to_comp(self, a):
         nb = a.shape[0]
-        r = a.reshape(nb, 4, t_local, *self.lat[1:], 3, 3)
-        return jnp.transpose(r, (6, 7, 1, 2, 3, 4, 5, 0))
+        at = jnp.transpose(a.reshape(nb, -1, 3, 3), (2, 3, 1, 0))
+        return at.reshape(3, 3, *comp.fold_shape(at.shape[2] * nb))
 
     def _update_v(self, layer, x, v, force, eps, direction, li):
         """Same equations/conventions as Dynamics._update_v_su3 (single
-        count per complex entry), with the feature sums psum'd."""
-        xin = self._vec_flat(soa.su3_to_vec(x)).astype(self.rdt)
-        fin = self._vec_flat(soa.su3_to_vec(force)).astype(self.rdt)
+        count per complex entry), with the feature sums psum'd; the
+        direction is a TRACED per-step scalar (unified fb scan)."""
+        xin = self._vec_flat(comp.su3_to_vec(x)).astype(self.rdt)
+        fin = self._vec_flat(comp.su3_to_vec(force)).astype(self.rdt)
         s, t, q = self._apply_vnet_sharded(layer, xin, fin, li)
         jac = 0.5 * eps * s
-        logjac = jac if direction > 0 else -jac
+        logjac = direction * jac
         logdet = jax.lax.psum(jnp.sum(logjac, axis=1), "lattice")
-        t_local = self.T // self.n_lat
-        exp_s = self._stq_to_soa(jnp.exp(logjac), t_local)
-        exp_q = self._stq_to_soa(jnp.exp(eps * q), t_local)
-        t_ = self._stq_to_soa(t, t_local)
+        exp_s = self._stq_to_comp(jnp.exp(logjac))
+        exp_q = self._stq_to_comp(jnp.exp(eps * q))
+        t_ = self._stq_to_comp(t)
         fn_re = force.re * exp_q + t_
         fn_im = force.im * exp_q
-        if direction > 0:
-            vf = soa.M3(exp_s * v.re - 0.5 * eps * fn_re,
-                        exp_s * v.im - 0.5 * eps * fn_im)
-        else:
-            vf = soa.M3(exp_s * (v.re + 0.5 * eps * fn_re),
-                        exp_s * (v.im + 0.5 * eps * fn_im))
+        half = 0.5 * eps
+        fwd = direction > 0
+        w = jnp.where(fwd, -half, half * exp_s)
+        vf = comp.F3(exp_s * v.re + w * fn_re, exp_s * v.im + w * fn_im)
         return vf, logdet
 
-    def _update_x(self, x, v, m_local, eps, direction):
-        mm_ = m_local  # (1, 1, 4, t_local, x, y, z, 1)
-        mb = 1.0 - mm_
-        sign = eps if direction > 0 else -eps
-        mbx = soa.M3(mb * x.re, mb * x.im)
-        upd = soa.mm(soa.expm(soa.scale(v, sign), order=8, s=2), mbx)
-        return soa.M3(mm_ * x.re + upd.re, mm_ * x.im + upd.im)
+    def _update_x(self, x, v, m_local, eps, direction, drift=None):
+        """Masked gauge drift (zero logdet); m_local broadcasts against
+        (3, 3, *batch). Same expm budget as Dynamics._update_x_su3."""
+        mb = 1.0 - m_local
+        sign = direction * eps
+        mbx = comp.F3(mb * x.re, mb * x.im)
+        if drift is None:
+            drift = comp.expm(comp.scale(v, sign), order=8, s=2)
+        upd = comp.mm(drift, mbx)
+        xf = comp.F3(m_local * x.re + upd.re, m_local * x.im + upd.im)
+        return xf, drift
 
-    def _hamiltonian(self, x, v, beta):
-        ke = jax.lax.psum(soa.kinetic_energy(v), "lattice")
-        act = jax.lax.psum(
-            soa.action(x, beta, roll=self._soa_roll), "lattice")
-        return ke + act
+    def _force_traces(self, x, beta):
+        """Per-shard shared-plaquette staple force + LOCAL plaquette
+        trace sums (psum deferred to the Hamiltonian assembly)."""
+        f, tr = comp.force_and_traces(x, beta, self.lat_local,
+                                      self.nb_local, roll=self._comp_roll)
+        return f, tr
 
-    def _lf_step(self, carry, step_inputs, direction):
-        x, v, force, sld, beta = carry
-        li = jax.lax.axis_index("lattice")
-        eps_x = jax.nn.sigmoid(step_inputs["xeps"])
-        eps_v = jax.nn.sigmoid(step_inputs["veps"])
-        layer = step_inputs["vnet"]
-        m = step_inputs["mask"]  # (4*vol,) global
-        t_local = self.T // self.n_lat
+    def _h_from_traces(self, v, beta, tr_local):
+        ke = jax.lax.psum(comp.kinetic_energy(v, self.nb_local), "lattice")
+        return ke + (-beta / 3.0) * jax.lax.psum(tr_local, "lattice")
+
+    def _local_mask(self, m, li):
+        """Global per-link mask (4*vol,) -> this shard's block shaped to
+        broadcast against comp batch (flat (d, t_l, xyz) x nb_l)."""
         m_l = m.reshape(4, self.T, *self.lat[1:])
         m_l = _slice_t(m_l, 1, self.T, self.n_lat, li)
-        m_l = m_l.reshape(1, 1, 4, t_local, *self.lat[1:], 1).astype(self.rdt)
-        mb_l = 1.0 - m_l
+        m_l = jnp.broadcast_to(
+            m_l.reshape(-1, 1).astype(self.rdt),
+            (4 * self.vol_local, self.nb_local))
+        return m_l.reshape(comp.fold_shape(4 * self.vol_local
+                                           * self.nb_local))
 
-        v1, ld = self._update_v(layer, x, v, force, eps_v, direction, li)
+    def _lf_step(self, carry, si):
+        """One generalized leapfrog step with traced direction — mirrors
+        Dynamics._su3_lf_step (momentum flip at the fb midpoint, masks
+        pre-swapped for the backward half)."""
+        x, v, force, tr, sld, beta = carry
+        li = jax.lax.axis_index("lattice")
+        d = si["dir"]
+        v = comp.scale(v, 1.0 - 2.0 * si["flip"])
+        eps_x = jax.nn.sigmoid(si["xeps"])
+        eps_v = jax.nn.sigmoid(si["veps"])
+        layer = si["vnet"]
+        m1 = self._local_mask(si["mask"], li)
+
+        v1, ld = self._update_v(layer, x, v, force, eps_v, d, li)
         sld = sld + ld
-        if direction > 0:
-            x1 = self._update_x(x, v1, m_l, eps_x, direction)
-            x2 = self._update_x(x1, v1, mb_l, eps_x, direction)
-        else:
-            x1 = self._update_x(x, v1, mb_l, eps_x, direction)
-            x2 = self._update_x(x1, v1, m_l, eps_x, direction)
-        force2 = soa.grad_action(x2, beta, roll=self._soa_roll)
-        v2, ld = self._update_v(layer, x2, v1, force2, eps_v, direction, li)
+        x1, drift = self._update_x(x, v1, m1, eps_x, d)
+        x2, _ = self._update_x(x1, v1, 1.0 - m1, eps_x, d, drift=drift)
+        force2, tr2 = self._force_traces(x2, beta)
+        v2, ld = self._update_v(layer, x2, v1, force2, eps_v, d, li)
         sld = sld + ld
-        return (x2, v2, force2, sld, beta)
-
-    def _scan_direction(self, params, masks, x, v, beta, direction, sld):
-        xs = {
-            "xeps": params.xeps,
-            "veps": params.veps,
-            "mask": masks,
-        }
-        if self.cfg.dynamics.use_separate_networks:
-            xs["vnet"] = params.vnets
-        else:
-            xs["vnet"] = jax.tree_util.tree_map(
-                lambda a: jnp.broadcast_to(a, (self.nlf,) + a.shape),
-                params.vnets)
-        if direction < 0:
-            xs = jax.tree_util.tree_map(lambda a: a[::-1], xs)
-        force = soa.grad_action(x, beta, roll=self._soa_roll)
-
-        def body(carry, si):
-            return self._lf_step(carry, si, direction), None
-
-        carry = (x, v, force, sld, beta)
-        carry, _ = jax.lax.scan(body, carry, xs)
-        x, v, _, sld, _ = carry
-        return x, v, sld
+        return (x2, v2, force2, tr2, sld, beta)
 
     # ------------------------------------------------------------------
     # Per-shard transition + loss (runs inside shard_map)
     # ------------------------------------------------------------------
     def _kernel_fb(self, params, masks, x_aos, v_aos, beta):
-        """Merged fwd+bwd trajectory on local shards. Returns
-        (x_prop_aos, sumlogdet, h_init, h_prop)."""
-        x = self._x_to_soa(x_aos)
-        v = self._x_to_soa(v_aos)
+        """Merged fwd+bwd trajectory on local shards as ONE scan with the
+        direction as a traced per-step input (the body and its AD
+        transpose are built once — same structure as
+        Dynamics.transition_kernel_fb). Returns
+        (x_prop_aos, v_prop_aos, sumlogdet, h_init, h_prop)."""
+        x = self._to_comp(x_aos)
+        v = self._to_comp(v_aos)
         nb_local = x_aos.shape[0]
         # mark the per-chain accumulator 'data'-varying so the scan carry
         # type matches the data-sharded logdet contributions
         sld = jax.lax.pcast(jnp.zeros((nb_local,), self.rdt), ("data",),
                             to="varying")
-        h0 = self._hamiltonian(x, v, beta)
-        xf, vf, sld = self._scan_direction(params, masks, x, v, beta, +1, sld)
-        vf = soa.scale(vf, -1.0)
-        xb, vb, sld = self._scan_direction(params, masks, xf, vf, beta, -1,
-                                           sld)
-        h1 = self._hamiltonian(xb, vb, beta)
-        return self._x_from_soa(xb), self._x_from_soa(vb), sld, h0, h1
+        nlf = self.nlf
+        io = jnp.asarray(list(range(nlf)) + list(reversed(range(nlf))))
+        dirs = jnp.asarray([1.0] * nlf + [-1.0] * nlf, self.rdt)
+        flips = jnp.asarray([0.0] * nlf + [1.0] + [0.0] * (nlf - 1),
+                            self.rdt)
+        m_base = masks[io].astype(self.rdt)
+        m_eff = jnp.where(dirs[:, None] > 0, m_base, 1.0 - m_base)
+        xs = {
+            "xeps": params.xeps[io],
+            "veps": params.veps[io],
+            "mask": m_eff,
+            "dir": dirs,
+            "flip": flips,
+        }
+        if self.cfg.dynamics.use_separate_networks:
+            xs["vnet"] = jax.tree_util.tree_map(lambda a: a[io],
+                                                params.vnets)
+        else:
+            xs["vnet"] = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, (2 * nlf,) + a.shape),
+                params.vnets)
+
+        force, tr0 = self._force_traces(x, beta)
+
+        def body(carry, si):
+            return self._lf_step(carry, si), None
+
+        carry = (x, v, force, tr0, sld, beta)
+        carry, _ = jax.lax.scan(body, carry, xs)
+        xb, vb, _, tr1, sld, _ = carry
+        h0 = self._h_from_traces(v, beta, tr0)
+        h1 = self._h_from_traces(vb, beta, tr1)
+        return self._from_comp(xb), self._from_comp(vb), sld, h0, h1
 
     def _observables(self, x_aos, beta):
         """(per_plane_plaq_sums (6, nb), qsin, qint) with lattice psums."""
-        xs = self._x_to_soa(x_aos)
-        re_pp, im_pp = soa.plaq_traces(xs, roll=self._soa_roll,
-                                       per_plane=True)
-        axes = tuple(range(1, re_pp.ndim - 1))
-        p = jax.lax.psum(jnp.sum(re_pp, axis=axes), "lattice")   # (6, nb)
-        qs = jax.lax.psum(jnp.sum(im_pp, axis=axes).sum(0), "lattice")
+        xs = self._to_comp(x_aos)
+        re_pp, im_pp = comp.plaq_traces(xs, self.lat_local, self.nb_local,
+                                        roll=self._comp_roll,
+                                        per_plane=True)
+        p = jax.lax.psum(
+            jnp.stack([r.reshape(-1, self.nb_local).sum(0) for r in re_pp]),
+            "lattice")                                          # (6, nb)
+        qs = jax.lax.psum(
+            sum(i.reshape(-1, self.nb_local).sum(0) for i in im_pp),
+            "lattice")
         return p, qs / (6 * 3 * self.vol), qs / (32 * np.pi**2)
 
     def _loss_terms(self, x1, x2, acc, beta):
@@ -366,11 +438,29 @@ class ShardedTrainerSU3:
     # ------------------------------------------------------------------
     # Public jitted steps
     # ------------------------------------------------------------------
+    def _metrics_of(self, x_init, x_out, beta):
+        """Per-chain observables matching the single-device trainer's
+        lattice_metrics convention (plaqs/intQ/sinQ of the INITIAL state,
+        dQint/dQsin vs the output — models/loss.py:102-113)."""
+        p1, qs1, qi1 = self._observables(x_init, beta)
+        _, qs2, qi2 = self._observables(x_out, beta)
+        return {
+            "plaqs": p1.sum(0) / (6 * 3 * self.vol),
+            "sinQ": qs1,
+            "intQ": qi1,
+            "dQint": jnp.abs(qi2 - qi1),
+            "dQsin": jnp.abs(qs2 - qs1),
+        }
+
+    _METRIC_KEYS = ("acc", "acc_mask", "sumlogdet", "plaqs", "sinQ",
+                    "intQ", "dQint", "dQsin")
+
     def _train_step_impl(self, ts: ShardedTrainState, x, beta, key):
         # key consumption mirrors train.trainer._train_step_impl +
         # Dynamics.apply_transition_fb exactly, so the drawn momenta and
         # MH uniforms are bit-identical to a single-device run
-        k_main, _k_aux, _k_y = jax.random.split(key, 3)
+        aux_w = self.cfg.loss.aux_weight
+        k_main, k_aux, k_y = jax.random.split(key, 3)
         k_v, k_acc, _k_drop = jax.random.split(k_main, 3)
         beta = jnp.asarray(beta)
         # global-layout randoms (bit-identical to single-device)
@@ -379,19 +469,38 @@ class ShardedTrainerSU3:
         u = jax.random.uniform(k_acc, (x.shape[0],), dtype=self.rdt)
         u = jax.lax.with_sharding_constraint(
             u, NamedSharding(self.mesh, P("data")))
+        if aux_w > 0:
+            # second pass from a fresh draw (reference
+            # trainers/pytorch/trainer.py:1342-1353); same key plumbing
+            # as the single-device path: y <- k_y, aux momenta <- k_aux
+            y = self.dynamics.random_x(k_y)
+            y = jax.lax.with_sharding_constraint(y, self.x_sharding)
+            k_v_a, _k_acc_a, _ = jax.random.split(k_aux, 3)
+            v_a = g.random_momentum(k_v_a, x.shape, dtype=x.dtype)
+            v_a = jax.lax.with_sharding_constraint(v_a, self.x_sharding)
+        else:
+            y = v_a = None
 
         x_spec = X_SPEC
         u_spec = P("data")
 
-        def shard_body(params, masks, x, v, u):
+        def shard_body(params, masks, x, v, u, *aux):
+            y, v_a = aux if aux else (None, None)
+
             def loss_of(p):
                 xp, vp, sld, h0, h1 = self._kernel_fb(p, masks, x, v, beta)
                 dh = h0 - h1 + sld
                 acc = jnp.exp(jnp.minimum(dh, 0.0))
                 loss = self._loss_terms(x, xp, acc, beta)
-                return loss, (xp, acc)
+                if aux_w > 0:
+                    yp, _, sld_a, h0a, h1a = self._kernel_fb(
+                        p, masks, y, v_a, beta)
+                    acc_a = jnp.exp(jnp.minimum(h0a - h1a + sld_a, 0.0))
+                    loss = loss + aux_w * self._loss_terms(y, yp, acc_a,
+                                                           beta)
+                return loss, (xp, acc, sld)
 
-            (loss, (xp, acc)), grads = jax.value_and_grad(
+            (loss, (xp, acc, sld)), grads = jax.value_and_grad(
                 loss_of, has_aux=True)(params)
             grads = jax.tree_util.tree_map(
                 lambda a: jax.lax.psum(a, ("data", "lattice")), grads)
@@ -399,25 +508,21 @@ class ShardedTrainerSU3:
             acc_mask = (acc > u).astype(self.rdt)
             mb = acc_mask.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
             x_out = mb * xp + (1.0 - mb) * x
-            # per-chain observables for metrics
-            p_pp, qsin, qint = self._observables(x_out, beta)
-            metrics = {
-                "acc": acc,
-                "acc_mask": acc_mask,
-                "plaqs": p_pp.sum(0) / (6 * 3 * self.vol),
-                "sinQ": qsin,
-                "intQ": qint,
-            }
+            metrics = {"acc": acc, "acc_mask": acc_mask,
+                       "sumlogdet": acc_mask * sld}
+            metrics.update(self._metrics_of(x, x_out, beta))
             return loss, grads, x_out, metrics
 
+        aux_args = (y, v_a) if aux_w > 0 else ()
         smapped = shard_map(
             shard_body, mesh=self.mesh,
-            in_specs=(P(), P(), x_spec, x_spec, u_spec),
+            in_specs=(P(), P(), x_spec, x_spec, u_spec)
+            + (x_spec, x_spec) * (aux_w > 0),
             out_specs=(P(), P(), x_spec,
-                       {"acc": u_spec, "acc_mask": u_spec,
-                        "plaqs": u_spec, "sinQ": u_spec, "intQ": u_spec}),
+                       {k: u_spec for k in self._METRIC_KEYS}),
         )
-        loss, grads, x_out, metrics = smapped(ts.params, ts.masks, x, v, u)
+        loss, grads, x_out, metrics = smapped(ts.params, ts.masks, x, v, u,
+                                              *aux_args)
         if self.cfg.dynamics.eps_fixed:
             grads = grads._replace(xeps=jnp.zeros_like(grads.xeps),
                                    veps=jnp.zeros_like(grads.veps))
@@ -426,8 +531,14 @@ class ShardedTrainerSU3:
         new_ts = ShardedTrainState(params, ts.masks, opt_state, ts.step + 1)
         metrics = dict(metrics)
         metrics["loss"] = loss
+        metrics["beta"] = beta
+        metrics["grad_norm"] = optax.global_norm(grads)
         metrics["xeps"] = jax.nn.sigmoid(params.xeps)
         metrics["veps"] = jax.nn.sigmoid(params.veps)
+        from l2hmc_tpu.ops import su3 as su3g
+        dev_mean, dev_max = su3g.checkSU(x_out)
+        metrics["checkSU_mean"] = dev_mean
+        metrics["checkSU_max"] = dev_max
         return new_ts, x_out, metrics
 
     def train_step(self, ts, x, beta, key):
@@ -452,21 +563,16 @@ class ShardedTrainerSU3:
             acc_mask = (acc > u).astype(self.rdt)
             mb = acc_mask.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
             x_out = mb * xp + (1.0 - mb) * x
-            p_pp, qsin, qint = self._observables(x_out, beta)
-            return x_out, {
-                "acc": acc, "acc_mask": acc_mask,
-                "plaqs": p_pp.sum(0) / (6 * 3 * self.vol),
-                "sinQ": qsin, "intQ": qint, "sumlogdet": acc_mask * sld,
-            }
+            metrics = {"acc": acc, "acc_mask": acc_mask,
+                       "sumlogdet": acc_mask * sld}
+            metrics.update(self._metrics_of(x, x_out, beta))
+            return x_out, metrics
 
         u_spec = P("data")
         smapped = shard_map(
             shard_body, mesh=self.mesh,
             in_specs=(P(), P(), X_SPEC, X_SPEC, u_spec),
-            out_specs=(X_SPEC,
-                       {k: u_spec for k in
-                        ("acc", "acc_mask", "plaqs", "sinQ", "intQ",
-                         "sumlogdet")}),
+            out_specs=(X_SPEC, {k: u_spec for k in self._METRIC_KEYS}),
         )
         return smapped(ts.params, ts.masks, x, v, u)
 
@@ -474,3 +580,32 @@ class ShardedTrainerSU3:
         if "eval" not in self._jit:
             self._jit["eval"] = jax.jit(self._eval_step_impl)
         return self._jit["eval"](ts, x, beta, key)
+
+    # ------------------------------------------------------------------
+    # Plain HMC under the 2-D mesh (matched-cost baseline / warmup)
+    # ------------------------------------------------------------------
+    def _obs_metrics(self, x_init, x_out, beta):
+        if "obs" not in self._jit:
+            def body(x1, x2, b):
+                return self._metrics_of(x1, x2, b)
+            self._jit["obs"] = jax.jit(shard_map(
+                body, mesh=self.mesh,
+                in_specs=(X_SPEC, X_SPEC, P()),
+                out_specs={k: P("data") for k in
+                           ("plaqs", "sinQ", "intQ", "dQint", "dQsin")},
+            ))
+        return self._jit["obs"](x_init, x_out, jnp.asarray(beta))
+
+    def hmc_step(self, x, beta, key, eps, nleapfrog: int):
+        """Network-free HMC MH step on the 2-D mesh with the same metric
+        keys as the single-device Trainer's hmc_step (warmup + the
+        matched-cost baseline of measure_improvement)."""
+        if self._lat_sharded is None:
+            from l2hmc_tpu.parallel.lattice_sharded import ShardedLatticeSU3
+            self._lat_sharded = ShardedLatticeSU3(
+                self.mesh, self.cfg.dynamics.nchains, list(self.lat),
+                c1=getattr(self.cfg, "c1", 0.0))
+        x_out, m = self._lat_sharded.hmc_step(x, beta, key, eps, nleapfrog)
+        metrics = {"acc": m["acc"], "acc_mask": m["acc_mask"]}
+        metrics.update(self._obs_metrics(x, x_out, beta))
+        return x_out, metrics

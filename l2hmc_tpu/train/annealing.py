@@ -60,6 +60,18 @@ class Annealer:
         self.betas.append(out)
         return out
 
+    def state_dict(self) -> dict:
+        """JSON-serializable controller memory (checkpointed per era so a
+        resumed run continues the beta controller where it left off —
+        VERDICT r2 #6; the reference restores optimizer state per era,
+        trainers/pytorch/trainer.py:573-701)."""
+        return {"betas": list(map(float, self.betas)),
+                "prev_best": float(self._prev_best)}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.betas = list(d["betas"])
+        self._prev_best = float(d["prev_best"])
+
 
 class ReduceLROnPlateau:
     """Multiplicative LR decay when the monitored loss plateaus."""
@@ -85,3 +97,13 @@ class ReduceLROnPlateau:
                 self.wait = 0
                 self.cooldown = self.cfg.cooldown
         return self.lr
+
+    def state_dict(self) -> dict:
+        return {"lr": float(self.lr), "best": float(self.best),
+                "wait": int(self.wait), "cooldown": int(self.cooldown)}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = float(d["lr"])
+        self.best = float(d["best"])
+        self.wait = int(d["wait"])
+        self.cooldown = int(d["cooldown"])

@@ -247,17 +247,17 @@ def test_su3_sumlogdet_convention(eager):
     force = dyn._grad_internal(ix, beta)
     _, logdet = dyn._update_v_su3(vnet, ix, iv, force, eps, +1, False, None)
 
-    nl = iv.re[0].shape[0]   # links
+    nl = comp.batch_size(iv)   # links
     n = 9 * nl
 
     def vmap_flat(v_flat):
-        vr = tuple(v_flat[c * nl:(c + 1) * nl] for c in range(9))
-        vi = tuple(v_flat[n + c * nl:n + (c + 1) * nl] for c in range(9))
+        vr = v_flat[:n].reshape(3, 3, *iv.batch)
+        vi = v_flat[n:].reshape(3, 3, *iv.batch)
         out = dyn._update_v_su3(
             vnet, ix, comp.F3(vr, vi), force, eps, +1, False, None)[0]
-        return jnp.concatenate(list(out.re) + list(out.im))
+        return jnp.concatenate([out.re.ravel(), out.im.ravel()])
 
-    vflat = jnp.concatenate(list(iv.re) + list(iv.im))
+    vflat = jnp.concatenate([iv.re.ravel(), iv.im.ravel()])
     jac = jax.jacfwd(vmap_flat)(vflat)
     sign, true_ld = jnp.linalg.slogdet(jac)
     assert float(sign) == 1.0

@@ -21,7 +21,11 @@ def _overrides(outdir, extra=()):
         "steps.nera=3",
         "steps.nepoch=3",
         "steps.log=1",
-        "learning_rate.factor=1.0",   # plateau state is not checkpointed
+        # plateau decay ON with patience 1: the controller state
+        # (best/wait/lr) is checkpointed per era (VERDICT r2 #6), so the
+        # resumed run must reproduce run A's LR trajectory exactly
+        "learning_rate.factor=0.5",
+        "learning_rate.patience=1",
         "annealing_schedule.beta_init=2.0",
         "annealing_schedule.beta_final=3.0",
         "seed=123",
@@ -59,6 +63,10 @@ def test_kill_and_resume_matches_uninterrupted(tmp_path):
     hb = ex_b2.trainer.histories["train"].get_dataset()
     assert ha["loss"].shape == hb["loss"].shape
     np.testing.assert_allclose(ha["loss"][-1], hb["loss"][-1])
+    # plateau controller memory continued, not reset (VERDICT r2 #6)
+    sa = ex_a.trainer.controller_state()["plateau"]
+    sb = ex_b2.trainer.controller_state()["plateau"]
+    assert sa == sb
 
 
 def test_restore_with_no_checkpoint_starts_fresh(tmp_path):

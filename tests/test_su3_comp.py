@@ -28,7 +28,10 @@ def rand_m3(seed, batch=BATCH):
 
 
 def close(a, b, atol=1e-12):
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
+    # scalar outputs keep the (folded) batch shape in the stacked
+    # engine; compare value streams
+    np.testing.assert_allclose(np.asarray(a).reshape(-1),
+                               np.asarray(b).reshape(-1), atol=atol)
 
 
 def m3_close(m, f, batch=BATCH, atol=1e-12):
@@ -127,9 +130,8 @@ def test_complex_lattice_roundtrip_and_momentum_stats():
     tr_re, tr_im = fc.trace(v)
     assert float(jnp.max(jnp.abs(tr_re))) < 1e-12
     assert float(jnp.max(jnp.abs(tr_im))) < 1e-10
-    for c in range(9):
-        close(v.re[c], -v.re[3 * (c % 3) + c // 3])
-        close(v.im[c], v.im[3 * (c % 3) + c // 3])
+    close(v.re, -jnp.swapaxes(v.re, 0, 1))
+    close(v.im, jnp.swapaxes(v.im, 0, 1))
 
 
 def test_rect_traces_match_aos():
