@@ -44,14 +44,28 @@ def _rand_f3(key, L):
                    jax.random.normal(ki, shape, jnp.float32))
 
 
+def _roundtrip():
+    from l2hmc_tpu.utils.sync import sync
+    z = jax.jit(lambda: jnp.zeros((2, 2)))()
+    sync(z)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        sync(z)
+    return (time.perf_counter() - t0) / 5
+
+
 def _time(fn, *args, reps=5):
+    # axon gotcha: block_until_ready doesn't block across the tunnel —
+    # sync via a device->host readback and subtract the tunnel roundtrip
+    from l2hmc_tpu.utils.sync import sync
     out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
+    rt = _roundtrip()
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    sync(out)
+    return max((time.perf_counter() - t0 - rt) / reps, 1e-9)
 
 
 def bench_vpu_comp(L, K):

@@ -210,6 +210,12 @@ class Experiment:
         with open(os.path.join(self.outdir, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
         self.make_plots()
+        if self.trainer.trackers is not None:
+            # final model as a wandb artifact (reference
+            # __main__.py:197-241); no-op for tb/aim-only runs
+            ckpt_dir = os.path.join(self.outdir, "checkpoints")
+            if os.path.isdir(ckpt_dir):
+                self.trainer.trackers.log_artifact(ckpt_dir, name="model")
         log.info(f"model_improvement: {improvement:.3f}")
         return summary
 

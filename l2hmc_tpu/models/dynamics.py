@@ -896,11 +896,17 @@ class Dynamics:
             nb = state.x.shape[0]
             xs = comp.from_complex_lattice(state.x)
             vs = comp.from_complex_lattice(state.v)
-            xp, vp, dh = comp.hmc_trajectory(
-                xs, vs, state.beta, eps, nleapfrog, lat, nb, c1=self.c1)
+            xp, vp, dh, (tr0, tr1) = comp.hmc_trajectory(
+                xs, vs, state.beta, eps, nleapfrog, lat, nb, c1=self.c1,
+                with_traces=True)
             x = comp.to_complex_lattice(xp, lat, nb, state.x.dtype)
             v = comp.to_complex_lattice(vp, lat, nb, state.v.dtype)
-            return State(x, v, state.beta), dh
+            # free engine plaquettes (avg Re tr P / 3 per chain): the AoS
+            # observable path costs ~40 ms/step at 128 chains on v5e —
+            # ~7x the MD step itself — so HMC consumers read these
+            vol = float(np.prod(lat))
+            plaqs = (tr0 / (6.0 * 3.0 * vol), tr1 / (6.0 * 3.0 * vol))
+            return State(x, v, state.beta), dh, plaqs
 
         def body(carry, _):
             x, v, force = carry
@@ -915,7 +921,7 @@ class Dynamics:
             body, (state.x, state.v, force), None, length=nleapfrog)
         prop = State(x, v, state.beta)
         dh = self.hamiltonian(state) - self.hamiltonian(prop)
-        return prop, dh
+        return prop, dh, None
 
     def apply_transition_hmc(self, x, beta, key, eps=None,
                              nleapfrog: Optional[int] = None):
@@ -928,7 +934,7 @@ class Dynamics:
         k_v, k_acc = jax.random.split(key)
         v = self.random_v(k_v, x)
         init = State(x, v, jnp.asarray(beta))
-        prop, dh = self.transition_kernel_hmc(init, eps, nleapfrog)
+        prop, dh, plaqs = self.transition_kernel_hmc(init, eps, nleapfrog)
         sld = jnp.zeros(x.shape[0], dtype=self.real_dtype)
         # dh comes out of the trajectory itself (the SU(3) path gets the
         # action traces free with every force evaluation)
@@ -938,10 +944,17 @@ class Dynamics:
         x_out = self._blend(acc_mask, prop.x, init.x)
         v_out = self._blend(acc_mask, prop.v, init.v)
         out = State(x_out, v_out, init.beta)
-        return x_out, {
+        metrics = {
             "acc": acc,
             "acc_mask": acc_mask,
             "sumlogdet": sld,
             "beta": init.beta,
             "mc_states": MonteCarloStates(init=init, proposed=prop, out=out),
         }
+        if plaqs is not None:
+            # engine-free plaquettes of the init and OUT (MH-blended)
+            # states (SU(3) only; see transition_kernel_hmc)
+            metrics["plaqs"] = plaqs[0]
+            metrics["plaqs_out"] = (acc_mask * plaqs[1]
+                                    + (1.0 - acc_mask) * plaqs[0])
+        return x_out, metrics

@@ -526,10 +526,16 @@ def leapfrog(x: F3, v: F3, beta, eps, force: F3, lat, nb: int, roll=None,
 
 
 def hmc_trajectory(x: F3, v: F3, beta, eps, nlf: int, lat, nb: int,
-                   roll=None, c1: float = 0.0):
+                   roll=None, c1: float = 0.0, with_traces: bool = False):
     """nlf leapfrog steps; returns (x', v', dH). For the plain Wilson
     action the plaquette traces ride along with every force evaluation
-    (force_and_traces), so the H terms cost no extra matmuls."""
+    (force_and_traces), so the H terms cost no extra matmuls.
+
+    with_traces=True additionally returns (tr0, tr1) — the per-chain
+    plaquette Re-trace sums of the initial and proposed states. They
+    are free here, and the AoS plaquette observable at 128 chains costs
+    ~40 ms/step on v5e (~7x the whole MD step), so HMC observers should
+    consume these instead (models/dynamics.py apply_transition_hmc)."""
     if roll is None:
         roll = make_roll(lat, nb)
     if c1 != 0.0:
@@ -542,6 +548,10 @@ def hmc_trajectory(x: F3, v: F3, beta, eps, nlf: int, lat, nb: int,
         (xp, vp, _), _ = jax.lax.scan(body, (x, v, f0), None, length=nlf)
         h0 = kinetic_energy(v, nb) + action(x, beta, lat, nb, roll, c1=c1)
         h1 = kinetic_energy(vp, nb) + action(xp, beta, lat, nb, roll, c1=c1)
+        if with_traces:
+            t0 = _chain_sum(plaq_traces(x, lat, nb, roll)[0], nb)
+            t1 = _chain_sum(plaq_traces(xp, lat, nb, roll)[0], nb)
+            return xp, vp, h0 - h1, (t0, t1)
         return xp, vp, h0 - h1
 
     f0, tr0 = force_and_traces(x, beta, lat, nb, roll)
@@ -558,4 +568,6 @@ def hmc_trajectory(x: F3, v: F3, beta, eps, nlf: int, lat, nb: int,
                                        length=nlf)
     h0 = kinetic_energy(v, nb) + (-beta / 3.0) * tr0
     h1 = kinetic_energy(vp, nb) + (-beta / 3.0) * tr1
+    if with_traces:
+        return xp, vp, h0 - h1, (tr0, tr1)
     return xp, vp, h0 - h1

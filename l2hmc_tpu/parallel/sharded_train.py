@@ -100,6 +100,27 @@ def make_sharded_comp_roll(lat_local, nb: int, axis_name: str = "lattice"):
     return roll
 
 
+
+# ---------------------------------------------------------------------------
+# Module-level jitted steps with the ShardedTrainerSU3 as a STATIC arg:
+# instances hash/compare by (config, mesh, optimizer source), so repeat
+# builds (resume tests, repeated Experiments) share one trace and one
+# SPMD executable in jax's global jit cache instead of re-tracing the
+# ~50 s train graph each time (see train/trainer.py's identical pattern).
+# ---------------------------------------------------------------------------
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _jit_sh_train_step(st: "ShardedTrainerSU3", ts, x, beta, key):
+    return st._train_step_impl(ts, x, beta, key)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _jit_sh_eval_step(st: "ShardedTrainerSU3", ts, x, beta, key):
+    return st._eval_step_impl(ts, x, beta, key)
+
+
 class ShardedTrainerSU3:
     """Jitted sharded train/eval steps over a ('data', 'lattice') mesh.
 
@@ -140,6 +161,7 @@ class ShardedTrainerSU3:
                                  cfg.conv, dtype=self.dtype)
         from l2hmc_tpu.models.loss import LatticeLoss
         self.loss_cfg = cfg.loss
+        self._tx_source = "trainer" if tx is not None else "plain"
         if tx is not None:
             # share the host Trainer's optimizer (incl. the
             # inject_hyperparams adam the ReduceLROnPlateau controller
@@ -533,6 +555,9 @@ class ShardedTrainerSU3:
         metrics["loss"] = loss
         metrics["beta"] = beta
         metrics["grad_norm"] = optax.global_norm(grads)
+        # full gradient pytree for histogram logging (popped by the
+        # train loop; see train/trainer.py)
+        metrics["grads"] = grads
         metrics["xeps"] = jax.nn.sigmoid(params.xeps)
         metrics["veps"] = jax.nn.sigmoid(params.veps)
         from l2hmc_tpu.ops import su3 as su3g
@@ -541,10 +566,27 @@ class ShardedTrainerSU3:
         metrics["checkSU_max"] = dev_max
         return new_ts, x_out, metrics
 
+    @property
+    def _trace_key(self) -> str:
+        if self.__dict__.get("_trace_key_cache") is None:
+            c = self.cfg
+            self.__dict__["_trace_key_cache"] = "|".join([
+                repr(c.dynamics), repr(c.network), repr(c.net_weights),
+                repr(c.conv), repr(c.loss), repr(c.learning_rate),
+                repr(c.precision), repr(getattr(c, "c1", 0.0)),
+                repr(self.mesh.shape), self._tx_source,
+            ])
+        return self.__dict__["_trace_key_cache"]
+
+    def __hash__(self):
+        return hash(self._trace_key)
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and self._trace_key == other._trace_key)
+
     def train_step(self, ts, x, beta, key):
-        if "train" not in self._jit:
-            self._jit["train"] = jax.jit(self._train_step_impl)
-        return self._jit["train"](ts, x, beta, key)
+        return _jit_sh_train_step(self, ts, x, jnp.asarray(beta), key)
 
     def _eval_step_impl(self, ts, x, beta, key):
         # mirrors Dynamics.apply_transition_fb key splits
@@ -577,9 +619,7 @@ class ShardedTrainerSU3:
         return smapped(ts.params, ts.masks, x, v, u)
 
     def eval_step(self, ts, x, beta, key):
-        if "eval" not in self._jit:
-            self._jit["eval"] = jax.jit(self._eval_step_impl)
-        return self._jit["eval"](ts, x, beta, key)
+        return _jit_sh_eval_step(self, ts, x, jnp.asarray(beta), key)
 
     # ------------------------------------------------------------------
     # Plain HMC under the 2-D mesh (matched-cost baseline / warmup)

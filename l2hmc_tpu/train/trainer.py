@@ -52,6 +52,33 @@ def _dtype_for(cfg: ExperimentConfig):
             "bfloat16": jnp.float32, "float16": jnp.float32}[cfg.precision]
 
 
+# ---------------------------------------------------------------------------
+# Module-level jitted steps with the Trainer as a STATIC argument.
+#
+# Trainer hashes/compares by its canonical config string, so two Trainer
+# instances built from equal configs share ONE trace and ONE executable
+# in jax's global jit cache. Without this, every Experiment rebuild
+# (resume tests, repeated runs in one process) re-traced the SU(3) train
+# graph from scratch — ~30-60 s of pure Python per graph on one core.
+# ---------------------------------------------------------------------------
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _jit_train_step(trainer: "Trainer", ts, x, beta, key):
+    return trainer._train_step_impl(ts, x, beta, key)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _jit_eval_step(trainer: "Trainer", ts, x, beta, key):
+    return trainer._eval_step_impl(ts, x, beta, key)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _jit_hmc_step(trainer: "Trainer", x, beta, key, eps):
+    return trainer._hmc_step_impl(x, beta, key, eps)
+
+
 class Trainer:
     def __init__(self, cfg: ExperimentConfig,
                  mesh: Optional["jax.sharding.Mesh"] = None):
@@ -209,6 +236,11 @@ class Trainer:
             "xeps": jax.nn.sigmoid(params.xeps),
             "veps": jax.nn.sigmoid(params.veps),
             "grad_norm": optax.global_norm(grads),
+            # full gradient pytree for histogram logging (reference
+            # trackers/pytorch/trackers.py:186-196); stays on device —
+            # the train loop pops it and only pulls leaves to the host
+            # on the (sparse) console cadence
+            "grads": grads,
         }
         if "per_step" in metrics:
             # per-leapfrog verbose series (dynamics.verbose=true):
@@ -255,30 +287,52 @@ class Trainer:
             "acc_mask": metrics["acc_mask"],
         }
         out.update(self.loss_fn.lattice_metrics(mc.init.x, xout))
+        if "plaqs" in metrics:
+            # SU(3): the engine's free action traces replace the AoS
+            # plaquette observable (~40 ms/step at 128 chains on v5e —
+            # ~7x the MD step; a consumer that only reads plaqs then
+            # lets XLA dead-code-eliminate the whole AoS metrics path)
+            out["plaqs"] = metrics["plaqs"]
         return xout, out
 
-    def _get_jit(self, name: str):
-        if name in self._jit_cache:
-            return self._jit_cache[name]
-        impl = {
-            "train": self._train_step_impl,
-            "eval": self._eval_step_impl,
-            "hmc": self._hmc_step_impl,
-        }[name]
-        fn = jax.jit(impl)
-        self._jit_cache[name] = fn
-        return fn
+    # ------------------------------------------------------------------
+    # Static-argument identity: Trainers with equal canonical configs
+    # trace identically, so the module-level jitted steps share one
+    # trace + executable across instances (resume tests, repeated
+    # Experiment builds) instead of re-tracing the big SU(3) graphs.
+    # ------------------------------------------------------------------
+    @property
+    def _trace_key(self) -> str:
+        if self.__dict__.get("_trace_key_cache") is None:
+            c = self.cfg
+            # ONLY the trace-relevant sub-configs: outdir/seed/steps/
+            # annealing are host-side and must not split the cache
+            # (the resume test rebuilds the same physics in a new outdir)
+            self.__dict__["_trace_key_cache"] = "|".join([
+                repr(c.dynamics), repr(c.network), repr(c.net_weights),
+                repr(c.conv), repr(c.loss), repr(c.learning_rate),
+                repr(c.precision), repr(getattr(c, "c1", 0.0)),
+                repr(getattr(self.mesh, "shape", None)),
+            ])
+        return self.__dict__["_trace_key_cache"]
+
+    def __hash__(self):
+        return hash(self._trace_key)
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and self._trace_key == other._trace_key)
 
     # public jitted entry points -----------------------------------------
     def train_step(self, ts, x, beta, key):
         if self.sharded is not None:
             return self.sharded.train_step(ts, x, jnp.asarray(beta), key)
-        return self._get_jit("train")(ts, x, jnp.asarray(beta), key)
+        return _jit_train_step(self, ts, x, jnp.asarray(beta), key)
 
     def eval_step(self, ts, x, beta, key):
         if self.sharded is not None:
             return self.sharded.eval_step(ts, x, jnp.asarray(beta), key)
-        return self._get_jit("eval")(ts, x, jnp.asarray(beta), key)
+        return _jit_eval_step(self, ts, x, jnp.asarray(beta), key)
 
     def hmc_step(self, x, beta, key, eps):
         if self.sharded is not None:
@@ -287,8 +341,9 @@ class Trainer:
             return self.sharded.hmc_step(
                 x, beta, key,
                 jnp.asarray(eps, self.dynamics.real_dtype), nlf)
-        return self._get_jit("hmc")(
-            x, jnp.asarray(beta), key, jnp.asarray(eps, self.dynamics.real_dtype))
+        return _jit_hmc_step(
+            self, x, jnp.asarray(beta), key,
+            jnp.asarray(eps, self.dynamics.real_dtype))
 
     # ------------------------------------------------------------------
     # Profiling (reference profile flag + Trainer.profile(),
@@ -399,16 +454,18 @@ class Trainer:
             for epoch in range(epochs):
                 key, k = jax.random.split(key)
                 ts, x, metrics = self.train_step(ts, x, beta, k)
+                grads = metrics.pop("grads", None)
                 if (epoch % nlog == 0) or (epoch == epochs - 1):
                     avgs = history.update(metrics)
                     if self.trackers is not None:
                         self.trackers.update_summaries(
                             metrics, int(ts.step), "train")
                         if epoch % nprint == 0:
-                            # param histograms on the (sparser) console
-                            # cadence (trackers/pytorch/trackers.py:167)
+                            # param + grad histograms on the (sparser)
+                            # console cadence (reference trackers/
+                            # pytorch/trackers.py:167-196)
                             self.trackers.log_params(
-                                ts.params, int(ts.step))
+                                ts.params, int(ts.step), grads=grads)
                     if "loss" in avgs:
                         era_losses.append(avgs["loss"])
                     if epoch % nprint == 0:

@@ -52,7 +52,12 @@ class History:
         for key, val in metrics.items():
             if val is None or key == "mc_states":
                 continue
-            arr = grab(val)
+            try:
+                arr = grab(val)
+            except (TypeError, ValueError):
+                # non-array payloads riding the metrics dict (e.g. the
+                # "grads" pytree the Trainer emits for histogram logging)
+                continue
             self.history.setdefault(key, []).append(arr)
             try:
                 avgs[key] = float(np.mean(arr))

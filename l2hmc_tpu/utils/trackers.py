@@ -129,6 +129,24 @@ class Trackers:
         if grads is not None:
             each(grads, "grad")
 
+    def log_artifact(self, path: str, name: str = "model",
+                     kind: str = "model") -> None:
+        """Upload a file/directory as a wandb artifact — the reference
+        pushes the final checkpoint this way
+        (reference src/l2hmc/__main__.py:197-241). No-op without wandb."""
+        if self.wandb is None:
+            return
+        try:
+            import wandb
+            art = wandb.Artifact(name, type=kind)
+            if os.path.isdir(path):
+                art.add_dir(path)
+            else:
+                art.add_file(path)
+            self.wandb.log_artifact(art)
+        except Exception:
+            pass
+
     def close(self) -> None:
         if self.tb is not None:
             self.tb.close()

@@ -8,9 +8,15 @@ uses explicit dtypes, so f32 paths stay f32.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# test-only compile-time diet: the big SPMD SU(3) train graphs spend
+# minutes in LLVM on one core; backend opt level 1 + skipping expensive
+# LLVM passes cuts XLA-compile ~20% with no effect on test semantics
+# (measured 182 s -> 146 s on the sharded f32 train step)
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
+    + " --xla_backend_optimization_level=1"
+    + " --xla_llvm_disable_expensive_passes=true"
 )
 
 import jax  # noqa: E402

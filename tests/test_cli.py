@@ -35,6 +35,9 @@ def test_cli_debug_run(tmp_path):
     """python -m l2hmc_tpu mode=debug end-to-end in a subprocess (CPU)."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = ""
+    # share the suite's persistent compile cache with the subprocess
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        os.path.dirname(__file__), ".jax_cache")
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu');"
         "from l2hmc_tpu.__main__ import main;"

@@ -60,6 +60,11 @@ def test_checkpoint_roundtrip(tmp_path):
     assert os.path.exists(f"{tmp_path}/ck/xeps.txt")
 
 
+@pytest.mark.skipif(
+    os.environ.get("L2HMC_FULL_TESTS") != "1",
+    reason="~3 min of SPMD compiles duplicating the driver's standalone "
+           "dryrun_multichip artifact; set L2HMC_FULL_TESTS=1 to run "
+           "it inside the suite too")
 def test_multichip_dryrun_8_devices():
     """The driver's dryrun contract on the virtual 8-device CPU mesh."""
     import __graft_entry__ as ge

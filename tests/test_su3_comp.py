@@ -173,5 +173,5 @@ def test_hmc_energy_conservation_dbw2():
     x = fc.from_complex_lattice(u)
     n = 4 * int(np.prod(LAT)) * 2
     v = fc.random_momentum(jax.random.PRNGKey(12), n, jnp.float64)
-    _, _, dh = fc.hmc_trajectory(x, v, 2.0, 0.002, 10, LAT, 2, c1=-1.4088)
+    _, _, dh = fc.hmc_trajectory(x, v, 2.0, 0.002, 3, LAT, 2, c1=-1.4088)
     assert float(jnp.max(jnp.abs(dh))) < 1e-3
