@@ -86,6 +86,18 @@ class NetworkConfig(BaseConfig):
     activation_fn: str = "leaky_relu"
     dropout_prob: float = 0.2
     use_batch_norm: bool = True
+    # torch nn.BatchNorm1d semantics (reference network.py:507): keep
+    # EMA running statistics during training and normalize with them at
+    # eval. False = batch stats at eval too (round-1/2 behavior).
+    bn_track_running_stats: bool = True
+    # zero-init the (s, t, q) head layers so the initial sampler is
+    # EXACTLY plain HMC (acceptance starts at the HMC level instead of
+    # collapsing under random O(1) perturbations — essential for SU(3)
+    # at 4^4+, where random heads start at acc ~0). The reference ships
+    # the same capability as Dynamics.init_weights(method=...)
+    # (reference dynamics.py:373-395) but defaults to torch init, as
+    # does this flag.
+    zero_init_heads: bool = False
 
 
 @dataclass

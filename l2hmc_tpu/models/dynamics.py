@@ -347,6 +347,7 @@ class Dynamics:
             cfg=self.network_config, net_weight=self.net_weights.v,
             training=training, dropout_key=dkey,
             compute_dtype=self.net_compute_dtype,
+            collect_bn=self._collect_bn(training),
         )
 
     def _call_xnet(self, xnet, xm, v, training, dkey):
@@ -363,7 +364,15 @@ class Dynamics:
             conv=self.conv, conv_channels=self.conv_channels,
             conv_hw=self.conv_hw,
             compute_dtype=self.net_compute_dtype,
+            collect_bn=self._collect_bn(training),
         )
+
+    def _collect_bn(self, training) -> bool:
+        """STATIC decision: collect per-call BN batch stats so the
+        Trainer can maintain torch-style running statistics (reference
+        network.py:507). training is always a python bool here."""
+        return bool(training) and self.network_config.use_batch_norm \
+            and self.network_config.bn_track_running_stats
 
     def _reshape_as_v(self, a: jax.Array, v: jax.Array) -> jax.Array:
         """Real (nb, out_dim) head output -> broadcastable against v."""
@@ -377,8 +386,10 @@ class Dynamics:
     def _update_v(self, vnet, state: State, force, eps, direction: int,
                   training, dkey):
         """Forward (direction=+1, dynamics.py:1266-1280) or backward
-        (direction=-1, :1282-1297) v update. Returns (v', logdet)."""
-        s, t, q = self._call_vnet(vnet, state.x, force, training, dkey)
+        (direction=-1, :1282-1297) v update. Returns (v', logdet, bn)."""
+        out = self._call_vnet(vnet, state.x, force, training, dkey)
+        s, t, q = out[:3]
+        bn = out[3] if len(out) == 4 else None
         jac = 0.5 * eps * s
         if direction > 0:
             logjac = jac
@@ -393,7 +404,7 @@ class Dynamics:
             vf = exp_s * state.v - 0.5 * eps * force_new
         else:
             vf = exp_s * (state.v + 0.5 * eps * force_new)
-        return vf, logdet
+        return vf, logdet, bn
 
     def _update_x_u1(self, xnet, state: State, m, eps, direction: int,
                      training, dkey):
@@ -417,7 +428,9 @@ class Dynamics:
         """
         mb = 1.0 - m
         xm = m * state.x
-        s, t, q = self._call_xnet(xnet, xm, state.v, training, dkey)
+        out = self._call_xnet(xnet, xm, state.v, training, dkey)
+        s, t, q = out[:3]
+        bn = out[3] if len(out) == 4 else None
         s = eps * s
         q = eps * q
         exp_q = jnp.exp(q)
@@ -446,7 +459,7 @@ class Dynamics:
                 logdet = jnp.sum(mb * (-s), axis=1)
         xf = xm + mb * xp
         xf = u1g.compat_proj(xf)
-        return xf, logdet
+        return xf, logdet, bn
 
     def _update_v_su3(self, vnet, x: "comp.F3", v: "comp.F3",
                       force: "comp.F3", eps, direction: int, training, dkey):
@@ -464,7 +477,9 @@ class Dynamics:
         the 2x count would change trained-sampler behavior vs the
         reference. Documented by
         tests/test_dynamics.py::test_su3_sumlogdet_convention."""
-        s, t, q = self._call_vnet(vnet, x, force, training, dkey)
+        out = self._call_vnet(vnet, x, force, training, dkey)
+        s, t, q = out[:3]
+        bn = out[3] if len(out) == 4 else None
         # direction may be a python +-1 OR a traced per-step scalar (the
         # unified fb scan): fwd  v' = e^{jac} v - eps/2 G,
         #                   bwd  v' = e^{-jac} (v + eps/2 G)
@@ -482,7 +497,7 @@ class Dynamics:
         fwd = direction > 0
         w = jnp.where(fwd, -half, half * exp_s)
         vf = comp.F3(exp_s * v.re + w * fn_re, exp_s * v.im + w * fn_im)
-        return vf, logdet
+        return vf, logdet, bn
 
     def _update_x_su3(self, x: "comp.F3", v: "comp.F3", m, eps,
                       direction, drift: "comp.F3" = None):
@@ -510,6 +525,15 @@ class Dynamics:
             drift = comp.expm(comp.scale(v, sign), order=8, s=2)
         upd = comp.mm(drift, mbx)
         xf = comp.F3(mflat * x.re + upd.re, mflat * x.im + upd.im)
+        # reunitarize (reference dynamics.py:1419, :1467 compat_proj =
+        # projectSU after EVERY x sub-update): the v-update's entrywise
+        # exp_s scaling leaves v slightly off the algebra once training
+        # turns s on, so exp(eps v) is only near-unitary; without this
+        # the deviation compounds ~|s| per accepted trajectory (measured
+        # 0.02/step at 4^4, saturating checkSU_max ~0.8 and killing
+        # acceptance). projectSU is an exact fixed point on unitary
+        # links, so m-masked (untouched) links are preserved exactly.
+        xf = comp.projectSU(xf)
         logdet = jnp.zeros((nb,), dtype=self.real_dtype)
         return xf, logdet, drift
 
@@ -544,34 +568,42 @@ class Dynamics:
         mb = 1.0 - m
         if True:   # U(1)-only body (SU(3) runs _su3_scan's unified body)
             state = State(x, v, beta)
-            v1, ld = self._update_v(vnet, state, force, eps_v, direction,
-                                    training, dkey(0))
+            v1, ld, bn_v0 = self._update_v(vnet, state, force, eps_v,
+                                           direction, training, dkey(0))
             sumlogdet = sumlogdet + ld
             state = State(x, v1, beta)
             if direction > 0:
-                x1, ld = self._update_x_u1(xnet0, state, m, eps_x, direction,
-                                           training, dkey(1))
+                x1, ld, bn_x0 = self._update_x_u1(
+                    xnet0, state, m, eps_x, direction, training, dkey(1))
                 sumlogdet = sumlogdet + ld
                 state = State(x1, v1, beta)
                 xn = xnet1 if self.config.use_split_xnets else xnet0
-                x2, ld = self._update_x_u1(xn, state, mb, eps_x, direction,
-                                           training, dkey(2))
+                x2, ld, bn_x1 = self._update_x_u1(
+                    xn, state, mb, eps_x, direction, training, dkey(2))
             else:
                 # backward order: (1-m) side first (dynamics.py:1222-1225)
                 xn = xnet1 if self.config.use_split_xnets else xnet0
-                x1, ld = self._update_x_u1(xn, state, mb, eps_x, direction,
-                                           training, dkey(1))
+                x1, ld, bn_x1 = self._update_x_u1(
+                    xn, state, mb, eps_x, direction, training, dkey(1))
                 sumlogdet = sumlogdet + ld
                 state = State(x1, v1, beta)
-                x2, ld = self._update_x_u1(xnet0, state, m, eps_x, direction,
-                                           training, dkey(2))
+                x2, ld, bn_x0 = self._update_x_u1(
+                    xnet0, state, m, eps_x, direction, training, dkey(2))
             sumlogdet = sumlogdet + ld
             force2 = self.grad_potential(x2, beta)
             state = State(x2, v1, beta)
-            v2, ld = self._update_v(vnet, state, force2, eps_v, direction,
-                                    training, dkey(3))
+            v2, ld, bn_v1 = self._update_v(vnet, state, force2, eps_v,
+                                           direction, training, dkey(3))
         sumlogdet = sumlogdet + ld
-        return (x2, v2, force2, sumlogdet, beta)
+        if self._collect_bn(training):
+            # per-call batch stats labeled by NET (x0/x1 = first/second
+            # xnet regardless of call order) + the param-step index so
+            # the Trainer's EMA scatters onto the stacked per-step BN
+            bn = {"v": (bn_v0, bn_v1), "x0": bn_x0, "x1": bn_x1,
+                  "idx": idx}
+        else:
+            bn = None
+        return (x2, v2, force2, sumlogdet, beta), bn
 
     def _su3_lf_step(self, carry, si, training, base_key,
                      shared_vnet=None):
@@ -597,8 +629,8 @@ class Dynamics:
             off = jnp.where(d > 0, 0, 4).astype(si["idx"].dtype)
             return jax.random.fold_in(base_key, si["idx"] * 8 + j + off)
 
-        v1, ld = self._update_v_su3(vnet, x, v, force, eps_v, d,
-                                    training, dkey(0))
+        v1, ld, bn_v0 = self._update_v_su3(vnet, x, v, force, eps_v, d,
+                                           training, dkey(0))
         sumlogdet = sumlogdet + ld
         # both masked half-updates share the same exp(d*eps*v1): build it
         # once (saves a full order-8 expm per leapfrog step)
@@ -608,10 +640,14 @@ class Dynamics:
         force2, tr2 = self._force_traces_internal(x2, beta)
         if tr2 is None:
             tr2 = tr
-        v2, ld = self._update_v_su3(vnet, x2, v1, force2, eps_v, d,
-                                    training, dkey(3))
+        v2, ld, bn_v1 = self._update_v_su3(vnet, x2, v1, force2, eps_v, d,
+                                           training, dkey(3))
         sumlogdet = sumlogdet + ld
-        return (x2, v2, force2, tr2, sumlogdet, beta)
+        if self._collect_bn(training):
+            bn = {"v": (bn_v0, bn_v1), "idx": si["idx"]}
+        else:
+            bn = None
+        return (x2, v2, force2, tr2, sumlogdet, beta), bn
 
     def _su3_scan(self, params, masks, ix, iv, beta, sld, idx_order, dirs,
                   flips, training, base_key):
@@ -643,8 +679,9 @@ class Dynamics:
             tr0 = jnp.zeros((self._comp_nb(ix),), self.real_dtype)
 
         def body(carry, si):
-            new_carry = self._su3_lf_step(carry, si, training, base_key,
-                                          shared_vnet=shared_vnet)
+            new_carry, bn = self._su3_lf_step(carry, si, training, base_key,
+                                              shared_vnet=shared_vnet)
+            ys = {}
             if self.config.verbose:
                 x_, v_, tr_, s_, beta_ = (new_carry[0], new_carry[1],
                                           new_carry[3], new_carry[4],
@@ -653,10 +690,10 @@ class Dynamics:
                     h = self._h_from_traces(v_, beta_, tr_)
                 else:
                     h = self._hamiltonian_internal(x_, v_, beta_)
-                ys = {"energy": h, "logdet": s_, "logprob": h - s_}
-            else:
-                ys = None
-            return new_carry, ys
+                ys.update({"energy": h, "logdet": s_, "logprob": h - s_})
+            if bn is not None:
+                ys["bn"] = bn
+            return new_carry, (ys or None)
 
         carry = (ix, iv, force, tr0, sld, beta)
         carry, ys = jax.lax.scan(body, carry, xs)
@@ -709,14 +746,15 @@ class Dynamics:
         lf_step = jax.checkpoint(step_fn) if self.group == "U1" else step_fn
 
         def body(carry, step_inputs):
-            new_carry = lf_step(carry, step_inputs)
+            new_carry, bn = lf_step(carry, step_inputs)
+            ys = {}
             if self.config.verbose:
                 x_, v_, _, sld, beta_ = new_carry
                 h = self._hamiltonian_internal(x_, v_, beta_)
-                ys = {"energy": h, "logdet": sld, "logprob": h - sld}
-            else:
-                ys = None
-            return new_carry, ys
+                ys.update({"energy": h, "logdet": sld, "logprob": h - sld})
+            if bn is not None:
+                ys["bn"] = bn
+            return new_carry, (ys or None)
 
         carry = (ix, iv, force, sumlogdet, beta)
         carry, ys = jax.lax.scan(body, carry, xs)
@@ -750,8 +788,7 @@ class Dynamics:
                 # the action traces: the MH Hamiltonians are free
                 metrics["h_init_partial"] = (-beta / 3.0) * tr0
                 metrics["h_prop"] = self._h_from_traces(v, beta, tr1)
-            if self.config.verbose and ys is not None:
-                metrics["per_step"] = ys
+            self._split_ys(metrics, ys)
             return s_b, sld, metrics
         i0 = self._to_internal(state)
         i_f, sld, ys_f = self._scan_direction(
@@ -761,10 +798,26 @@ class Dynamics:
             params, masks, i_flip, -1, training, base_key, sld)
         s_b = self._from_internal(i_b)
         metrics = {"sumlogdet": sld}
-        if self.config.verbose and ys_f is not None:
-            metrics["per_step"] = jax.tree_util.tree_map(
+        ys = None
+        if ys_f is not None:
+            ys = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a, b]), ys_f, ys_b)
+        self._split_ys(metrics, ys)
         return s_b, sld, metrics
+
+    def _split_ys(self, metrics: dict, ys) -> None:
+        """Route scan outputs: per-leapfrog verbose series to
+        metrics['per_step'], collected BN batch stats to
+        metrics['bn_stats'] (consumed by the Trainer's running-stat
+        EMA, torch BatchNorm semantics)."""
+        if ys is None:
+            return
+        ys = dict(ys)
+        bn = ys.pop("bn", None)
+        if self.config.verbose and ys:
+            metrics["per_step"] = ys
+        if bn is not None:
+            metrics["bn_stats"] = bn
 
     def transition_kernel(self, params, masks, state: State, forward: bool,
                           training=False, key=None, with_metrics=False):
@@ -873,8 +926,7 @@ class Dynamics:
             "beta": init.beta,
             "mc_states": MonteCarloStates(init=init, proposed=prop, out=out),
         }
-        if self.config.verbose and ys is not None:
-            metrics["per_step"] = ys   # (nlf, nb) per series
+        self._split_ys(metrics, ys)   # per_step: (nlf, nb) per series
         return x_out, metrics
 
     # ------------------------------------------------------------------

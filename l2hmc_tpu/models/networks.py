@@ -164,10 +164,23 @@ def init_leapfrog_layer(
         "transl": _linear_init(keys[3 + n_hidden], units[-1], out_dim, dtype),
         "transf": _scaled_tanh_init(keys[4 + n_hidden], units[-1], out_dim, dtype),
     }
+    if cfg.zero_init_heads:
+        # (s, t, q) == 0 at init => the untrained kernel IS plain HMC
+        # (gradients still flow: the heads' inputs are non-zero)
+        for head in ("scale", "transl", "transf"):
+            params[head] = {k: jnp.zeros_like(v)
+                            for k, v in params[head].items()}
     if cfg.use_batch_norm:
         params["bn"] = {
             "gamma": jnp.ones((units[-1],), dtype),
             "beta": jnp.zeros((units[-1],), dtype),
+            # EMA running statistics (torch BatchNorm1d semantics,
+            # reference network.py:507): updated by the Trainer from the
+            # batch stats the kernel emits (zero-gradient leaves — the
+            # optimizer never touches them), consumed at eval when
+            # cfg.bn_track_running_stats
+            "r_mean": jnp.zeros((units[-1],), dtype),
+            "r_var": jnp.ones((units[-1],), dtype),
         }
     if conv is not None and conv.filters:
         assert conv_hw is not None
@@ -190,13 +203,17 @@ def apply_leapfrog_layer(
     conv_channels: int = 0,
     conv_hw: Optional[tuple[int, int]] = None,
     compute_dtype=None,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    collect_bn: bool = False,
+):
     """(x, v) -> (s, t, q), each (nb, out_dim).
 
-    Batch norm runs in batch-statistics mode (normalizing over the chain
-    axis with learned affine params). NOTE: unlike torch BN there are no
-    running averages — eval uses batch stats too. The reference trains with
-    BN in batch-stats mode as well; only its eval-time behavior differs.
+    Batch norm matches torch nn.BatchNorm1d (reference network.py:507):
+    training normalizes with batch statistics; eval normalizes with the
+    EMA running statistics in params["bn"] when
+    cfg.bn_track_running_stats (else batch stats, the round-1/2
+    behavior). collect_bn=True (training only) returns a 4th element
+    (batch_mean, batch_var) of shape (units[-1],) each — or None when no
+    BN ran — so the Trainer can maintain the EMA outside the kernel.
 
     compute_dtype (e.g. jnp.bfloat16) runs the GEMM stack in reduced
     precision (params stay f32 in the optimizer; casts are folded by XLA —
@@ -221,9 +238,18 @@ def apply_leapfrog_layer(
         keep = 1.0 - cfg.dropout_prob
         mask = jax.random.bernoulli(dropout_key, keep, z.shape)
         z = jnp.where(mask, z / keep, 0.0)
+    bn_stats = None
     if cfg.use_batch_norm and "bn" in params:
-        mean = jnp.mean(z, axis=0, keepdims=True)
-        var = jnp.var(z, axis=0, keepdims=True)
+        use_running = (not training and cfg.bn_track_running_stats
+                       and "r_mean" in params["bn"])
+        if use_running:
+            mean = params["bn"]["r_mean"][None, :]
+            var = params["bn"]["r_var"][None, :]
+        else:
+            mean = jnp.mean(z, axis=0, keepdims=True)
+            var = jnp.var(z, axis=0, keepdims=True)
+            if collect_bn:
+                bn_stats = (mean[0], var[0])
         z = (z - mean) * jax.lax.rsqrt(var + 1e-5)
         z = z * params["bn"]["gamma"] + params["bn"]["beta"]
     s = net_weight.s * _scaled_tanh(params["scale"], z)
@@ -233,6 +259,11 @@ def apply_leapfrog_layer(
         s = s.astype(out_dtype)
         t = t.astype(out_dtype)
         q = q.astype(out_dtype)
+        if bn_stats is not None:
+            bn_stats = (bn_stats[0].astype(out_dtype),
+                        bn_stats[1].astype(out_dtype))
+    if collect_bn:
+        return s, t, q, bn_stats
     return s, t, q
 
 

@@ -316,6 +316,11 @@ class ShardedTrainerSU3:
             drift = comp.expm(comp.scale(v, sign), order=8, s=2)
         upd = comp.mm(drift, mbx)
         xf = comp.F3(m_local * x.re + upd.re, m_local * x.im + upd.im)
+        # reunitarize, matching Dynamics._update_x_su3 (reference
+        # compat_proj after every x sub-update, dynamics.py:1419): the
+        # single-device parity tests require the two kernels drift-free
+        # and identical. projectSU is per-link => no cross-shard comms.
+        xf = comp.projectSU(xf)
         return xf, drift
 
     def _force_traces(self, x, beta):

@@ -224,6 +224,12 @@ class Trainer:
         grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
         updates, opt_state = self.tx.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
+        bn_stats = metrics.pop("bn_stats", None)
+        if bn_stats is not None:
+            # torch BatchNorm running-stat EMA (reference network.py:507)
+            # from the batch stats the kernel collected per net call;
+            # the main pass only (the aux pass's stats are dropped)
+            params = self._apply_bn_ema(params, bn_stats)
         new_ts = TrainState(params, ts.masks, opt_state, ts.step + 1)
 
         mc = metrics["mc_states"]
@@ -258,6 +264,68 @@ class Trainer:
             out["checkSU_mean"] = dev_mean
             out["checkSU_max"] = dev_max
         return new_ts, xout, out
+
+    # ------------------------------------------------------------------
+    # BatchNorm running statistics (torch nn.BatchNorm1d semantics;
+    # reference network/pytorch/network.py:507). The kernel emits the
+    # batch (mean, var) of every net call (dynamics._collect_bn); this
+    # folds them into params' bn.r_mean / bn.r_var with momentum 0.1
+    # (torch default). Runs inside the jitted train step, outside the
+    # gradient path.
+    # ------------------------------------------------------------------
+    _BN_MOMENTUM = 0.1
+
+    def _apply_bn_ema(self, params, bn_stats: dict):
+        idx = bn_stats["idx"]
+        sep = self.cfg.dynamics.use_separate_networks
+        nlf = self.cfg.dynamics.nleapfrog
+
+        def batch_est(pairs):
+            # pairs: list of (means (S,u), vars (S,u)) samples
+            means = jnp.concatenate([p[0] for p in pairs])
+            vars_ = jnp.concatenate([p[1] for p in pairs])
+            reps = len(pairs)
+            all_idx = jnp.concatenate([idx] * reps)
+            if sep:
+                num = jax.ops.segment_sum(means, all_idx, num_segments=nlf)
+                den = jax.ops.segment_sum(jnp.ones_like(means), all_idx,
+                                          num_segments=nlf)
+                vnum = jax.ops.segment_sum(vars_, all_idx,
+                                           num_segments=nlf)
+                return num / den, vnum / den          # (nlf, u)
+            return jnp.mean(means, 0), jnp.mean(vars_, 0)   # (u,)
+
+        def fold(net_params, pairs):
+            if net_params is None or "bn" not in net_params \
+                    or "r_mean" not in net_params["bn"]:
+                return net_params
+            m_est, v_est = batch_est(pairs)
+            mom = self._BN_MOMENTUM
+            bn = dict(net_params["bn"])
+            bn["r_mean"] = ((1.0 - mom) * bn["r_mean"]
+                            + mom * m_est.astype(bn["r_mean"].dtype))
+            bn["r_var"] = ((1.0 - mom) * bn["r_var"]
+                           + mom * v_est.astype(bn["r_var"].dtype))
+            out = dict(net_params)
+            out["bn"] = bn
+            return out
+
+        # vnet is called twice per leapfrog step; both samples count
+        # (torch updates running stats on every forward)
+        v0, v1 = bn_stats["v"]
+        vnets = fold(params.vnets, [v0, v1])
+        xnets_first = params.xnets_first
+        xnets_second = params.xnets_second
+        if "x0" in bn_stats:
+            if self.cfg.dynamics.use_split_xnets:
+                xnets_first = fold(xnets_first, [bn_stats["x0"]])
+                xnets_second = fold(xnets_second, [bn_stats["x1"]])
+            else:
+                # both x sub-updates run the same (first) xnet
+                xnets_first = fold(xnets_first,
+                                   [bn_stats["x0"], bn_stats["x1"]])
+        return params._replace(vnets=vnets, xnets_first=xnets_first,
+                               xnets_second=xnets_second)
 
     def _eval_step_impl(self, ts: TrainState, x, beta, key):
         transition = (self.dynamics.apply_transition_fb

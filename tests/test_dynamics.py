@@ -245,7 +245,8 @@ def test_su3_sumlogdet_convention(eager):
     ix = dyn._x_to_comp(x)
     iv = dyn._x_to_comp(v)
     force = dyn._grad_internal(ix, beta)
-    _, logdet = dyn._update_v_su3(vnet, ix, iv, force, eps, +1, False, None)
+    _, logdet, _bn = dyn._update_v_su3(vnet, ix, iv, force, eps, +1,
+                                      False, None)
 
     nl = comp.batch_size(iv)   # links
     n = 9 * nl

@@ -100,4 +100,4 @@ def test_sharded_aux_weight_loss(tmp_path):
     _, _, ms = single.train_step(ts_s, x_s, 1.0, k)
     _, _, mm = sh.train_step(ts_m, x_m, 1.0, k)
     np.testing.assert_allclose(float(ms["loss"]), float(mm["loss"]),
-                               rtol=2e-5)
+                               rtol=1e-4)

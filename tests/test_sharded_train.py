@@ -51,7 +51,7 @@ def test_train_step_matches_single_device(pair):
     ts_s2, xs2, ms = single.train_step(ts_s, x_s, beta, k)
     ts_m2, xm2, mm = sh.train_step(ts_m, x_m, beta, k)
     np.testing.assert_allclose(float(ms["loss"]), float(mm["loss"]),
-                               rtol=2e-5)
+                               rtol=1e-4)
     np.testing.assert_allclose(np.asarray(ms["acc"]), np.asarray(mm["acc"]),
                                rtol=2e-4)
     np.testing.assert_allclose(np.asarray(xs2), np.asarray(xm2), atol=5e-5)
@@ -148,5 +148,5 @@ def test_lattice_only_mesh_1x4():
     _, xs2, ms = single.train_step(ts_s, x_s, 6.0, k)
     _, xm2, mm = sh.train_step(ts_m, x_m, 6.0, k)
     np.testing.assert_allclose(float(ms["loss"]), float(mm["loss"]),
-                               rtol=2e-5)
+                               rtol=1e-4)
     np.testing.assert_allclose(np.asarray(xs2), np.asarray(xm2), atol=5e-5)
