@@ -267,11 +267,12 @@ def apply_leapfrog_layer(
     return s, t, q
 
 
-def zero_stq(x: jax.Array, out_dim: int):
-    """The `dummy_network`: identically-zero (s, t, q) for network-free HMC
-    mode (network.py:69-77)."""
-    z = jnp.zeros((x.shape[0], out_dim), dtype=x.real.dtype)
-    return z, z, z
+# The reference's `dummy_network` (identically-zero (s, t, q) for
+# network-free mode, reference network.py:69-77) has two native
+# counterparts here instead of a stub function: the dedicated HMC kernel
+# (models/dynamics.py transition_kernel_hmc — zero nets collapse the
+# generalized leapfrog to exactly it) and cfg.network.zero_init_heads,
+# which makes the TRAINABLE kernel start at the dummy-network point.
 
 
 def count_params(tree) -> int:
