@@ -252,6 +252,11 @@ class ExperimentConfig(BaseConfig):
     # parallelism: number of devices along the chain ('data') mesh axis;
     # None = all visible devices
     ndevices: Optional[int] = None
+    # gradient accumulation: apply the optimizer every k-th train step
+    # with the mean of the accumulated gradients (the reference's
+    # DeepSpeed gradient_accumulation_steps; global_batch_size =
+    # world * micro_bs * gas, reference configs.py:695-699)
+    grad_accum_steps: int = 1
     # 2-D (data, lattice) mesh shape, e.g. [2, 4]: chains shard over the
     # first axis AND the lattice t-axis over the second (SU(3) only —
     # parallel/sharded_train.py). None/[n, 1] = 1-D data parallelism.

@@ -579,6 +579,7 @@ class ShardedTrainerSU3:
                 repr(c.dynamics), repr(c.network), repr(c.net_weights),
                 repr(c.conv), repr(c.loss), repr(c.learning_rate),
                 repr(c.precision), repr(getattr(c, "c1", 0.0)),
+                repr(getattr(c, "grad_accum_steps", 1)),
                 repr(self.mesh.shape), self._tx_source,
             ])
         return self.__dict__["_trace_key_cache"]

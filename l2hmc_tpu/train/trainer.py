@@ -117,6 +117,13 @@ class Trainer:
                 from l2hmc_tpu.train.annealing import ReduceLROnPlateau
                 self._plateau = ReduceLROnPlateau(lr)
         self.tx = optax.chain(*chain)
+        gas = int(getattr(cfg, "grad_accum_steps", 1) or 1)
+        if gas > 1:
+            # gradient accumulation (the reference's DeepSpeed 'gas':
+            # global_batch = world * micro_bs * gas, reference
+            # configs.py:695-699): params update every gas-th step with
+            # the mean of the accumulated grads; jit-compatible
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=gas)
 
         if (mesh is not None and "lattice" in mesh.axis_names
                 and mesh.shape["lattice"] > 1):
@@ -380,6 +387,7 @@ class Trainer:
                 repr(c.dynamics), repr(c.network), repr(c.net_weights),
                 repr(c.conv), repr(c.loss), repr(c.learning_rate),
                 repr(c.precision), repr(getattr(c, "c1", 0.0)),
+                repr(getattr(c, "grad_accum_steps", 1)),
                 repr(getattr(self.mesh, "shape", None)),
             ])
         return self.__dict__["_trace_key_cache"]
@@ -598,14 +606,21 @@ class Trainer:
         """Rewrite the injected adam learning rate (host-side plateau
         control) without touching compiled code."""
         idx = 1 if (self.cfg.learning_rate.clip_norm or 0) > 0 else 0
-        inner = ts.opt_state[idx]
+        opt_state = ts.opt_state
+        wrapped = hasattr(opt_state, "inner_opt_state")  # optax.MultiSteps
+        chain_state = opt_state.inner_opt_state if wrapped else opt_state
+        inner = chain_state[idx]
         if hasattr(inner, "hyperparams"):
             hp = dict(inner.hyperparams)
             hp["learning_rate"] = jnp.asarray(
                 lr, dtype=jnp.asarray(inner.hyperparams["learning_rate"]).dtype)
             inner = inner._replace(hyperparams=hp)
-            opt_state = tuple(
-                inner if i == idx else s for i, s in enumerate(ts.opt_state))
+            chain_state = tuple(
+                inner if i == idx else s for i, s in enumerate(chain_state))
+            if wrapped:
+                opt_state = opt_state._replace(inner_opt_state=chain_state)
+            else:
+                opt_state = chain_state
             return ts._replace(opt_state=opt_state)
         return ts
 

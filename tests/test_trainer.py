@@ -156,3 +156,28 @@ def test_verbose_metrics_on_single_direction_kernel():
     ts, x, m = trainer.train_step(ts, x, 2.0, jax.random.PRNGKey(31))
     for k in ("energy", "logdet", "logprob"):
         assert m[k].shape == (nlf, nb), (k, m[k].shape)
+
+
+def test_grad_accumulation():
+    """grad_accum_steps=k applies the optimizer every k-th step with the
+    accumulated-mean gradient (the reference's DeepSpeed gas semantics,
+    reference configs.py:695-699): params are frozen between boundaries
+    and move at the boundary."""
+    cfg = tiny_u1_config(**{"grad_accum_steps": "2"})
+    trainer = Trainer(cfg)
+    ts0, x = trainer.init_state(jax.random.PRNGKey(40))
+    ts1, x, _ = trainer.train_step(ts0, x, 2.0, jax.random.PRNGKey(41))
+    # first micro-step: gradients accumulated, params unchanged
+    w0 = jax.tree_util.tree_leaves(ts0.params.vnets)[0]
+    w1 = jax.tree_util.tree_leaves(ts1.params.vnets)[0]
+    np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+    ts2, x, _ = trainer.train_step(ts1, x, 2.0, jax.random.PRNGKey(42))
+    # boundary: params move
+    w2 = jax.tree_util.tree_leaves(ts2.params.vnets)[0]
+    assert float(np.max(np.abs(np.asarray(w2) - np.asarray(w1)))) > 0
+
+    # the plateau controller's lr rewrite reaches through MultiSteps
+    ts3 = trainer._set_lr(ts2, 1e-5)
+    st = ts3.opt_state.inner_opt_state
+    idx = 1 if (cfg.learning_rate.clip_norm or 0) > 0 else 0
+    assert float(st[idx].hyperparams["learning_rate"]) == 1e-5
