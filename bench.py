@@ -33,13 +33,120 @@ reference's published A100 number (BASELINE.md: ~0.093 s/step at 2048
 chains, 16x16, nlf=4 merged => ~1.76e5 chain-lf-evals/s).
 The default SU(3) output always includes the utilization rows (128
 chains = VPU saturation; 8^4 = large volume) — VERDICT r2 #2.
+
+Robustness (VERDICT r3 #1 — the round-3 scored bench died with
+`Unable to initialize backend 'axon': UNAVAILABLE`): the axon tunnel
+admits ONE session at a time, so backend init can fail (UNAVAILABLE) or
+HANG (dead relay retries forever). Before touching jax in-process this
+script (a) checks the relay's TCP listener, (b) probes backend init in a
+short-lived SUBPROCESS with a hard timeout, retrying with backoff for
+~3 min, and (c) arms a SIGALRM watchdog so a mid-run hang still emits
+the last completed result. Every failure path prints ONE parseable JSON
+line (never a bare traceback).
 """
 import json
+import os
+import signal
+import socket
+import subprocess
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+RELAY_PORT = 8082              # first port in /root/.tpu_init.py's list
+WATCHDOG_SECS = int(os.environ.get("BENCH_WATCHDOG_SECS", "1500"))
+_PARTIAL: dict = {}            # best result so far, for the watchdog
+
+
+def _emit(result: dict, rc: int = 0) -> int:
+    print(json.dumps(result), flush=True)
+    return rc
+
+
+def _error_result(msg: str) -> dict:
+    return {
+        "metric": "su3_4x4x4x4_leapfrog_md_steps_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "leapfrog MD steps/s",
+        "vs_baseline": 0.0,
+        "error": msg[:2000],
+    }
+
+
+def _relay_alive() -> bool:
+    """Is the orchestrator's TPU stdio relay listening?"""
+    try:
+        with socket.create_connection(("127.0.0.1", RELAY_PORT), timeout=2):
+            return True
+    except OSError:
+        return False
+
+
+def _probe_backend_subprocess(timeout_s: float) -> tuple[bool, str]:
+    """Try backend init in a throwaway subprocess (it can hang — a dead
+    relay makes the axon plugin retry forever — or die UNAVAILABLE under
+    session contention). Returns (ok, detail)."""
+    code = "import jax; print('NDEV', len(jax.devices()))"
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s, start_new_session=True)
+    except subprocess.TimeoutExpired:
+        return False, f"backend init hung >{timeout_s:.0f}s (dead relay?)"
+    if p.returncode == 0 and "NDEV" in p.stdout:
+        return True, p.stdout.strip()
+    tail = (p.stderr or p.stdout).strip().splitlines()[-1:]
+    return False, (tail[0] if tail else f"rc={p.returncode}")
+
+
+def _ensure_backend() -> tuple[bool, str]:
+    """Make sure jax.devices() will succeed in THIS process, retrying
+    init failures with backoff (~3 min total). CPU mode passes through."""
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # the env var alone is NOT enough when the axon plugin is
+        # registered (its PJRT client dials the relay during backend
+        # discovery); the config knob is the reliable switch
+        jax.config.update("jax_platforms", "cpu")
+        return True, "cpu"
+    relay = _relay_alive()
+    if not relay:
+        # one short probe anyway (the relay check could be wrong about
+        # an exotic transport), but don't burn the full retry budget
+        ok, detail = _probe_backend_subprocess(45)
+        if ok:
+            return True, detail
+        return False, ("tpu_init relay not listening on "
+                       f"127.0.0.1:{RELAY_PORT} and backend probe failed "
+                       f"({detail}); TPU tunnel is down for this session")
+    last = ""
+    for attempt, backoff in enumerate((0, 15, 30, 60, 75)):
+        if backoff:
+            time.sleep(backoff)
+        ok, detail = _probe_backend_subprocess(120)
+        if ok:
+            return True, detail
+        last = detail
+        sys.stderr.write(f"[bench] probe attempt {attempt + 1} failed: "
+                         f"{detail}\n")
+    return False, f"backend init failed after 5 attempts over ~3min: {last}"
+
+
+def _arm_watchdog():
+    def _fire(signum, frame):
+        if _PARTIAL.get("value"):
+            _PARTIAL["watchdog"] = (
+                f"timed out after {WATCHDOG_SECS}s; emitted last "
+                "completed measurement")
+            _emit(_PARTIAL)
+            os._exit(0)
+        _emit(_error_result(f"bench hung; watchdog fired after "
+                            f"{WATCHDOG_SECS}s with no completed result"))
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(WATCHDOG_SECS)
 
 TORCH_CPU_SU3_MD_STEPS_PER_SEC = 14.853   # benchmarks/torch_su3_baseline.py
 A100_U1_EVALS_PER_SEC = 2048 * 8 / 0.093  # BASELINE.md ~1.76e5
@@ -168,15 +275,23 @@ def bench_su3(extra_rows: bool = True):
               "hbm_gbps", "pct_hbm_peak", "bound"):
         if k in head:
             result[k] = head[k]
+    _PARTIAL.update(result)   # head number is safe even if a row dies
     if extra_rows:
-        result["rows"] = [
-            # utilization rows (VERDICT r2 #2): 128 chains saturates the
-            # VPU; 8^4 is the large-volume regime.
-            bench_su3_at(128, 4),
-            # dH ~ eps^2 * V: halve eps at 16x the volume to keep the
-            # sampler in a sane acceptance regime
-            bench_su3_at(8, 8, K=20, eps0=0.005),
-        ]
+        rows = []
+        # utilization rows (VERDICT r2 #2): 128 chains saturates the
+        # VPU; 8^4 is the large-volume regime. Each row is isolated so
+        # one failure can't void the artifact.
+        for args, kwargs in (((128, 4), {}),
+                             # dH ~ eps^2 * V: halve eps at 16x the
+                             # volume to keep acceptance sane
+                             ((8, 8), {"K": 20, "eps0": 0.005})):
+            try:
+                rows.append(bench_su3_at(*args, **kwargs))
+            except Exception as e:  # noqa: BLE001 — artifact must land
+                rows.append({"nchains": args[0], "L": args[1],
+                             "error": f"{type(e).__name__}: {e}"[:500]})
+            _PARTIAL["rows"] = list(rows)
+        result["rows"] = rows
     return result
 
 
@@ -224,10 +339,21 @@ def bench_u1():
 
 
 def main():
-    if "--u1" in sys.argv:
-        result = bench_u1()
-    else:
-        result = bench_su3(extra_rows="--head-only" not in sys.argv)
+    _arm_watchdog()
+    ok, detail = _ensure_backend()
+    if not ok:
+        return _emit(_error_result(detail), rc=1)
+    try:
+        if "--u1" in sys.argv:
+            result = bench_u1()
+        else:
+            result = bench_su3(extra_rows="--head-only" not in sys.argv)
+    except Exception as e:  # noqa: BLE001 — artifact must stay parseable
+        if _PARTIAL.get("value"):
+            _PARTIAL["partial_error"] = f"{type(e).__name__}: {e}"[:500]
+            return _emit(_PARTIAL)
+        return _emit(_error_result(f"{type(e).__name__}: {e}"), rc=1)
+    signal.alarm(0)
     print(json.dumps(result))
     return 0
 
