@@ -29,6 +29,11 @@ log = logging.getLogger(__name__)
 
 class Experiment:
     def __init__(self, cfg: ExperimentConfig):
+        # multi-host bootstrap BEFORE any device/mesh query, so
+        # jax.devices() below sees the GLOBAL device set and a pod launch
+        # needs zero code edits (reference wires dist setup the same way,
+        # experiment/pytorch/experiment.py:154)
+        self.process_index = pmesh.setup_distributed()
         self.cfg = cfg
         self.mesh = None
         if cfg.mesh_shape is not None and len(cfg.mesh_shape) == 2 \
@@ -53,7 +58,10 @@ class Experiment:
         self.key = jax.random.PRNGKey(cfg.seed)
         self._ts: Optional[TrainState] = None
         self._x = None
-        if cfg.use_tb or cfg.use_wandb or cfg.init_aim:
+        if (cfg.use_tb or cfg.use_wandb or cfg.init_aim) \
+                and self.process_index == 0:
+            # metric sinks are rank-0-only, like the reference's wandb/aim
+            # init (experiment/experiment.py:147-235)
             from l2hmc_tpu.utils.trackers import Trackers
             self.trainer.trackers = Trackers(
                 self.outdir, use_tb=cfg.use_tb, use_wandb=cfg.use_wandb,

