@@ -153,6 +153,11 @@ class ShardedTrainerSU3:
         self.vol = int(np.prod(self.lat))
         self.xyz = self.vol // self.T
         self.nlf = cfg.dynamics.nleapfrog
+        # improved-action coefficient (DBW2/Iwasaki). The rectangle
+        # loops only ever compose +-1 rolls, which the halo ppermute
+        # supports, so c1 != 0 trains the SAME action as the
+        # single-device path (dynamics.py _force_traces_internal).
+        self.c1 = float(getattr(cfg, "c1", 0.0))
 
         from l2hmc_tpu.train.trainer import _dtype_for
         self.dtype = _dtype_for(cfg)
@@ -324,14 +329,33 @@ class ShardedTrainerSU3:
         return xf, drift
 
     def _force_traces(self, x, beta):
-        """Per-shard shared-plaquette staple force + LOCAL plaquette
-        trace sums (psum deferred to the Hamiltonian assembly)."""
+        """Per-shard force + LOCAL per-chain potential contribution
+        (psum deferred to the Hamiltonian assembly).
+
+        c1 == 0: shared-plaquette staple force; the contribution is the
+        plaquette Re-trace sum (beta factor applied in _h_from_traces).
+        c1 != 0: autodiff of the improved action through the halo rolls
+        (ppermute transposes ship halo cotangents back — each shard's
+        grad of its LOCAL anchored sum assembles the exact global force,
+        same route as comp.grad_action but sharing the action value);
+        the contribution is the local action itself, beta included."""
+        if self.c1 != 0.0:
+            def s_of(xf):
+                s = comp.action(xf, beta, self.lat_local, self.nb_local,
+                                roll=self._comp_roll, c1=self.c1)
+                return jnp.sum(s), s
+
+            (_, s), gr = jax.value_and_grad(s_of, has_aux=True)(x)
+            f = comp.projectTAH(comp.mm(gr, x, adj_b=True))
+            return f, s
         f, tr = comp.force_and_traces(x, beta, self.lat_local,
                                       self.nb_local, roll=self._comp_roll)
         return f, tr
 
     def _h_from_traces(self, v, beta, tr_local):
         ke = jax.lax.psum(comp.kinetic_energy(v, self.nb_local), "lattice")
+        if self.c1 != 0.0:   # tr_local IS the local action (beta folded in)
+            return ke + jax.lax.psum(tr_local, "lattice")
         return ke + (-beta / 3.0) * jax.lax.psum(tr_local, "lattice")
 
     def _local_mask(self, m, li):
@@ -375,7 +399,10 @@ class ShardedTrainerSU3:
         direction as a traced per-step input (the body and its AD
         transpose are built once — same structure as
         Dynamics.transition_kernel_fb). Returns
-        (x_prop_aos, v_prop_aos, sumlogdet, h_init, h_prop)."""
+        (x_prop_aos, v_prop_aos, sumlogdet, h_init, h_prop, ys) where ys
+        is the per-leapfrog verbose series dict (energy/logdet/logprob,
+        each (2*nlf, nb_local)) when dynamics.verbose, else None —
+        metric parity with the 1-D path (dynamics.py _su3_scan body)."""
         x = self._to_comp(x_aos)
         v = self._to_comp(v_aos)
         nb_local = x_aos.shape[0]
@@ -407,15 +434,24 @@ class ShardedTrainerSU3:
 
         force, tr0 = self._force_traces(x, beta)
 
+        verbose = bool(self.cfg.dynamics.verbose)
+
         def body(carry, si):
-            return self._lf_step(carry, si), None
+            new_carry = self._lf_step(carry, si)
+            if not verbose:
+                return new_carry, None
+            _, v_, _, tr_, s_, b_ = new_carry
+            h = self._h_from_traces(v_, b_, tr_)
+            return new_carry, {"energy": h, "logdet": s_,
+                               "logprob": h - s_}
 
         carry = (x, v, force, tr0, sld, beta)
-        carry, _ = jax.lax.scan(body, carry, xs)
+        carry, ys = jax.lax.scan(body, carry, xs)
         xb, vb, _, tr1, sld, _ = carry
         h0 = self._h_from_traces(v, beta, tr0)
         h1 = self._h_from_traces(vb, beta, tr1)
-        return self._from_comp(xb), self._from_comp(vb), sld, h0, h1
+        return (self._from_comp(xb), self._from_comp(vb), sld, h0, h1,
+                ys)
 
     def _observables(self, x_aos, beta):
         """(per_plane_plaq_sums (6, nb), qsin, qint) with lattice psums."""
@@ -481,6 +517,16 @@ class ShardedTrainerSU3:
 
     _METRIC_KEYS = ("acc", "acc_mask", "sumlogdet", "plaqs", "sinQ",
                     "intQ", "dQint", "dQsin")
+    _VERBOSE_KEYS = ("energy", "logdet", "logprob")
+
+    def _metric_specs(self):
+        """out_specs for the per-chain metrics dict; the per-leapfrog
+        verbose series are (2*nlf, nb_local) so the 'data' axis sits at
+        position 1."""
+        sp = {k: P("data") for k in self._METRIC_KEYS}
+        if self.cfg.dynamics.verbose:
+            sp.update({k: P(None, "data") for k in self._VERBOSE_KEYS})
+        return sp
 
     def _train_step_impl(self, ts: ShardedTrainState, x, beta, key):
         # key consumption mirrors train.trainer._train_step_impl +
@@ -515,19 +561,20 @@ class ShardedTrainerSU3:
             y, v_a = aux if aux else (None, None)
 
             def loss_of(p):
-                xp, vp, sld, h0, h1 = self._kernel_fb(p, masks, x, v, beta)
+                xp, vp, sld, h0, h1, ys = self._kernel_fb(p, masks, x, v,
+                                                          beta)
                 dh = h0 - h1 + sld
                 acc = jnp.exp(jnp.minimum(dh, 0.0))
                 loss = self._loss_terms(x, xp, acc, beta)
                 if aux_w > 0:
-                    yp, _, sld_a, h0a, h1a = self._kernel_fb(
+                    yp, _, sld_a, h0a, h1a, _ = self._kernel_fb(
                         p, masks, y, v_a, beta)
                     acc_a = jnp.exp(jnp.minimum(h0a - h1a + sld_a, 0.0))
                     loss = loss + aux_w * self._loss_terms(y, yp, acc_a,
                                                            beta)
-                return loss, (xp, acc, sld)
+                return loss, (xp, acc, sld, ys)
 
-            (loss, (xp, acc, sld)), grads = jax.value_and_grad(
+            (loss, (xp, acc, sld, ys)), grads = jax.value_and_grad(
                 loss_of, has_aux=True)(params)
             grads = jax.tree_util.tree_map(
                 lambda a: jax.lax.psum(a, ("data", "lattice")), grads)
@@ -538,6 +585,8 @@ class ShardedTrainerSU3:
             metrics = {"acc": acc, "acc_mask": acc_mask,
                        "sumlogdet": acc_mask * sld}
             metrics.update(self._metrics_of(x, x_out, beta))
+            if ys is not None:
+                metrics.update(ys)
             return loss, grads, x_out, metrics
 
         aux_args = (y, v_a) if aux_w > 0 else ()
@@ -545,8 +594,7 @@ class ShardedTrainerSU3:
             shard_body, mesh=self.mesh,
             in_specs=(P(), P(), x_spec, x_spec, u_spec)
             + (x_spec, x_spec) * (aux_w > 0),
-            out_specs=(P(), P(), x_spec,
-                       {k: u_spec for k in self._METRIC_KEYS}),
+            out_specs=(P(), P(), x_spec, self._metric_specs()),
         )
         loss, grads, x_out, metrics = smapped(ts.params, ts.masks, x, v, u,
                                               *aux_args)
@@ -605,7 +653,8 @@ class ShardedTrainerSU3:
             u, NamedSharding(self.mesh, P("data")))
 
         def shard_body(params, masks, x, v, u):
-            xp, vp, sld, h0, h1 = self._kernel_fb(params, masks, x, v, beta)
+            xp, vp, sld, h0, h1, ys = self._kernel_fb(params, masks, x, v,
+                                                      beta)
             dh = h0 - h1 + sld
             acc = jnp.exp(jnp.minimum(dh, 0.0))
             acc_mask = (acc > u).astype(self.rdt)
@@ -614,13 +663,15 @@ class ShardedTrainerSU3:
             metrics = {"acc": acc, "acc_mask": acc_mask,
                        "sumlogdet": acc_mask * sld}
             metrics.update(self._metrics_of(x, x_out, beta))
+            if ys is not None:
+                metrics.update(ys)
             return x_out, metrics
 
         u_spec = P("data")
         smapped = shard_map(
             shard_body, mesh=self.mesh,
             in_specs=(P(), P(), X_SPEC, X_SPEC, u_spec),
-            out_specs=(X_SPEC, {k: u_spec for k in self._METRIC_KEYS}),
+            out_specs=(X_SPEC, self._metric_specs()),
         )
         return smapped(ts.params, ts.masks, x, v, u)
 

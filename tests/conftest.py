@@ -27,12 +27,11 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # the SU(3) SPMD graphs are large; cache compilations across test runs
-# (first run pays, reruns are instant). The write threshold is 30 s:
-# only the big graphs are worth persisting, and jax's executable
-# serializer has segfaulted twice writing a ~15 s U(1) executable late
-# in a full cold run (put_executable_and_time, jax 0.9 CPU backend) —
-# skipping small writes sidesteps it at ~zero warm-run cost.
-_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
-os.makedirs(_cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 30)
+# (first run pays, reruns are instant). The cache dir is keyed by a host
+# fingerprint so AOT entries written on another machine are MISSES, not
+# SIGILL/SIGSEGV inside the deserializer (a full-suite run once crashed
+# at 89% reading a foreign entry). The 30 s write threshold also stays:
+# jax 0.9's serializer has segfaulted writing ~15 s CPU executables.
+from l2hmc_tpu.utils.compile_cache import configure as _configure_cache  # noqa: E402
+
+_configure_cache(os.path.join(os.path.dirname(__file__), ".jax_cache"))

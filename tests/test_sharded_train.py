@@ -150,3 +150,77 @@ def test_lattice_only_mesh_1x4():
     np.testing.assert_allclose(float(ms["loss"]), float(mm["loss"]),
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(xs2), np.asarray(xm2), atol=5e-5)
+
+
+def test_c1_sharded_force_action_parity():
+    """Improved action (c1 != 0) on the 2-D mesh: the halo-autodiff force
+    and the psum'd local action/Hamiltonian match comp.grad_action /
+    comp.action at the global volume. (Round-3 gap: the lattice-sharded
+    trainable kernel silently dropped c1 and trained the Wilson action.)"""
+    from jax.sharding import PartitionSpec as P
+
+    from l2hmc_tpu.ops import su3_comp as comp
+    from l2hmc_tpu.parallel.lattice_sharded import X_SPEC
+    from l2hmc_tpu.parallel.sharded_train import (ShardedTrainerSU3,
+                                                  shard_map)
+
+    c1 = -0.331   # Iwasaki
+    cfg = su3_cfg(["mesh_shape=[2, 2]", f"c1={c1}"])
+    mesh = make_mesh_2d(2, 2)
+    sh = ShardedTrainerSU3(cfg, mesh)
+    assert sh.c1 == c1
+    kx, kv = jax.random.split(jax.random.PRNGKey(3))
+    x = sh.random_x(kx)
+    from l2hmc_tpu.ops import su3 as g
+    v = jax.lax.with_sharding_constraint(
+        g.random_momentum(kv, x.shape, dtype=x.dtype), sh.x_sharding)
+    beta = 6.0
+
+    def body(x_aos, v_aos):
+        xc = sh._to_comp(x_aos)
+        vc = sh._to_comp(v_aos)
+        b = jnp.asarray(beta, sh.rdt)
+        f, s_local = sh._force_traces(xc, b)
+        h = sh._h_from_traces(vc, b, s_local)
+        return sh._from_comp(f), h
+
+    f_sh, h_sh = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(X_SPEC, X_SPEC),
+        out_specs=(X_SPEC, P("data"))))(x, v)
+
+    lat = tuple(cfg.dynamics.latvolume)
+    nb = cfg.dynamics.nchains
+    xg = comp.from_complex_lattice(jnp.asarray(np.asarray(x)))
+    vg = comp.from_complex_lattice(jnp.asarray(np.asarray(v)))
+    f_ref = comp.to_complex_lattice(
+        comp.grad_action(xg, beta, lat, nb, c1=c1), lat, nb, x.dtype)
+    h_ref = (comp.kinetic_energy(vg, nb)
+             + comp.action(xg, beta, lat, nb, c1=c1))
+
+    np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_sh), np.asarray(h_ref),
+                               rtol=2e-5)
+
+
+def test_verbose_per_leapfrog_series_sharded():
+    """dynamics.verbose=true emits the same per-leapfrog
+    energy/logdet/logprob series ((2*nlf, nb)) from the 2-D-mesh kernel
+    as from the single-device scan (round-3 gap: sharded verbose runs
+    silently lost the series)."""
+    cfg = su3_cfg(["mesh_shape=[2, 2]", "dynamics.verbose=true"])
+    mesh = make_mesh_2d(2, 2)
+    sh = Trainer(cfg, mesh=mesh).sharded
+    single = Trainer(su3_cfg(["dynamics.verbose=true"]))
+    key = jax.random.PRNGKey(42)
+    ts_s, x_s = single.init_state(key)
+    ts_m, x_m = sh.init_state(key)
+    k = jax.random.PRNGKey(13)
+    _, ms = single.eval_step(ts_s, x_s, 6.0, k)
+    _, mm = sh.eval_step(ts_m, x_m, 6.0, k)
+    nlf, nb = cfg.dynamics.nleapfrog, cfg.dynamics.nchains
+    for kk in ("energy", "logdet", "logprob"):
+        assert kk in ms and kk in mm
+        assert mm[kk].shape == (2 * nlf, nb)
+        np.testing.assert_allclose(np.asarray(ms[kk]), np.asarray(mm[kk]),
+                                   rtol=1e-4, atol=1e-3)

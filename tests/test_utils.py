@@ -72,3 +72,16 @@ def test_measure_improvement(tmp_path):
     imp = plots.measure_improvement(he, hh, str(tmp_path))
     assert abs(imp - 3.0) < 1e-12
     assert os.path.exists(tmp_path / "model_improvement.txt")
+
+
+def test_compile_cache_machine_keyed(tmp_path):
+    """Cache dirs are host-fingerprinted: entries written on another
+    machine live in a different subdir and can never be deserialized
+    here (the r3 full-suite SIGSEGV read a foreign AOT entry)."""
+    from l2hmc_tpu.utils import compile_cache as cc
+
+    fp = cc.host_fingerprint()
+    assert len(fp) == 12 and int(fp, 16) >= 0
+    assert fp == cc.host_fingerprint()  # stable within a host
+    d = cc.machine_cache_dir(str(tmp_path))
+    assert os.path.isdir(d) and os.path.basename(d) == fp
