@@ -340,6 +340,10 @@ def bench_u1():
 
 def main():
     _arm_watchdog()
+    cc = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cc:
+        from l2hmc_tpu.utils.compile_cache import configure
+        configure(cc)   # host-keyed subdir (utils/compile_cache.py)
     ok, detail = _ensure_backend()
     if not ok:
         return _emit(_error_result(detail), rc=1)

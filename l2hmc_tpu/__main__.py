@@ -35,6 +35,14 @@ DEBUG_OVERRIDES = [
 
 
 def main(argv=None):
+    import os
+    _cc = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if _cc:
+        # re-point the persistent compile cache at the HOST-KEYED subdir:
+        # AOT entries from another machine become clean misses instead of
+        # SIGILL/SIGSEGV in the deserializer (utils/compile_cache.py)
+        from l2hmc_tpu.utils.compile_cache import configure
+        configure(_cc)
     argv = list(argv if argv is not None else sys.argv[1:])
     group = "U1"
     overrides = []

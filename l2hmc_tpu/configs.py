@@ -84,6 +84,16 @@ class ConvolutionConfig(BaseConfig):
 class NetworkConfig(BaseConfig):
     units: Sequence[int] = (16, 16, 16, 16)
     activation_fn: str = "leaky_relu"
+    # NOTE (2-D lattice-sharded meshes): dropout_prob > 0 and
+    # use_batch_norm are supported on single-device and 1-D data meshes
+    # only; ShardedTrainerSU3 asserts both OFF at init. BN's batch
+    # statistics would need a pmean over 'data' at every layer call and
+    # dropout per-shard feature-aligned masks — both deliberately
+    # unimplemented: they change the arithmetic the sharded==single
+    # parity tests pin down, and the SU(3) configs the 2-D mesh exists
+    # for (4^4+) train better without them (records/
+    # su3_4x4_b6_quality.md). Set network.dropout_prob=0 and
+    # network.use_batch_norm=false for mesh_shape=[d, l>1] runs.
     dropout_prob: float = 0.2
     use_batch_norm: bool = True
     # torch nn.BatchNorm1d semantics (reference network.py:507): keep
@@ -198,6 +208,12 @@ class LearningRateConfig(BaseConfig):
     cooldown: int = 0
     min_delta: float = 1e-4
     verbose: bool = False
+    #: "default" = linear warmup (warmup > 0) or plateau-decayed flat lr;
+    #: "noam" = transformer rate lr_init * d^-1/2 * min(s^-1/2,
+    #: s*warmup^-3/2) (reference learning_rate/pytorch/learning_rate.py:11)
+    schedule: str = "default"
+    #: Noam model size d; 0 = infer max(network.units)
+    model_size: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -247,6 +263,14 @@ class ExperimentConfig(BaseConfig):
     #: improved-action rectangle coefficient (DBW2 -1.4088, Iwasaki
     #: -0.331; reference configs.py:658 top-level c1)
     c1: float = 0.0
+    #: Wilson-flow eval observables (SU(3) only): when flow_nsteps > 0,
+    #: every eval/hmc draw is gradient-flowed flow_nsteps RK3 steps of
+    #: size flow_eps and the flowed clover topological charge (flowQ),
+    #: smoothed plaquette and t^2 E land in the metrics/history
+    #: (ops/wilson_flow.py; the reference's SU(3) integer charge is a
+    #: TODO stub — lattice/su3/pytorch/lattice.py:232-235)
+    flow_nsteps: int = 0
+    flow_eps: float = 0.1
     outdir: Optional[str] = None
     profile: bool = False
     # parallelism: number of devices along the chain ('data') mesh axis;

@@ -197,6 +197,18 @@ class Experiment:
             out["dQint"] = float(np.mean(h["dQint"]))
         if "dQsin" in h:
             out["dQsin"] = float(np.mean(h["dQsin"]))
+        if "flowQ" in h:
+            # Wilson-flowed clover charge (flow_nsteps > 0): near-integer
+            # after flow, so its tunneling rate counts REAL topological
+            # sector changes — the observable the naive imag-trace intQ
+            # (reference's TODO stub) cannot resolve
+            q = np.atleast_2d(h["flowQ"])
+            out["flowQ_mean_abs"] = float(np.mean(np.abs(q)))
+            out["dQint_flow"] = ac.tunneling_rate(q)
+            if q.shape[-1] >= 8:
+                out.update({f"flowQ_{k}": v for k, v in
+                            ac.chain_stats(np.round(q)).items()
+                            if k in ("tau_int", "ess_per_step")})
         return out
 
     def run(self) -> dict:

@@ -409,6 +409,66 @@ def _chain_sum(a: jax.Array, nb: int) -> jax.Array:
     return a.reshape(-1, nb).sum(axis=0)
 
 
+def clover_field(x: F3, lat, nb: int, roll=None):
+    """Clover-averaged field strength: one traceless anti-hermitian F3
+    per (u, v) plane (u > v, plaq_traces plane order), T_uv =
+    projectTAH(sum of the 4 clover leaves) = (C - C^)/2 - trace.
+
+    The reference's SU(3) integer charge is a literal TODO stub (the
+    plaquette imag-trace, lattice/su3/pytorch/lattice.py:232-235, which
+    never leaves |Q| < 0.2 at small volumes); the clover charge below is
+    the standard field-theoretic definition the stub stands in for.
+    Every link hop is a +-1 roll, so the SAME code runs on
+    halo-exchanged shards (parallel/sharded_train.make_sharded_comp_roll).
+    """
+    if roll is None:
+        roll = make_roll(lat, nb)
+    n_dir = int(np.prod(lat)) * nb
+    out = []
+    for u in range(1, 4):
+        for v in range(0, u):
+            xu = dir_slice(x, u, n_dir)
+            xv = dir_slice(x, v, n_dir)
+            xv_pu = roll_f(xv, -1, u, roll)        # U_v(n+u)
+            xu_pv = roll_f(xu, -1, v, roll)        # U_u(n+v)
+            # Q1 = U_u(n) U_v(n+u) U_u(n+v)^ U_v(n)^
+            q1 = mm(mm(xu, xv_pu), mm(xv, xu_pv), adj_b=True)
+            xu_mu = roll_f(xu, 1, u, roll)         # U_u(n-u)
+            xv_mu = roll_f(xv, 1, u, roll)         # U_v(n-u)
+            xu_mu_pv = roll_f(xu_mu, -1, v, roll)  # U_u(n-u+v)
+            # Q2 = U_v(n) U_u(n-u+v)^ U_v(n-u)^ U_u(n-u)
+            q2 = mm(mm(xv, xu_mu_pv, adj_b=True),
+                    mm(xv_mu, xu_mu, adj_a=True))
+            xv_mv = roll_f(xv, 1, v, roll)         # U_v(n-v)
+            xu_mv = roll_f(xu, 1, v, roll)         # U_u(n-v)
+            xv_mu_mv = roll_f(xv_mu, 1, v, roll)   # U_v(n-u-v)
+            xu_mu_mv = roll_f(xu_mu, 1, v, roll)   # U_u(n-u-v)
+            # Q3 = U_u(n-u)^ U_v(n-u-v)^ U_u(n-u-v) U_v(n-v)
+            q3 = mm(mm(xu_mu, xv_mu_mv, adj_a=True, adj_b=True),
+                    mm(xu_mu_mv, xv_mv))
+            xv_pu_mv = roll_f(xv_pu, 1, v, roll)   # U_v(n+u-v)
+            # Q4 = U_v(n-v)^ U_u(n-v) U_v(n+u-v) U_u(n)^
+            q4 = mm(mm(xv_mv, xu_mv, adj_a=True),
+                    mm(xv_pu_mv, xu, adj_b=True))
+            c = add(add(q1, q2), add(q3, q4))
+            out.append(projectTAH(c))
+    return out
+
+
+def topo_charge_clover(x: F3, lat, nb: int, roll=None) -> jax.Array:
+    """Per-chain topological charge Q = (1/32 pi^2) sum_x
+    eps_{uvrs} tr[F_uv F_rs] with clover-averaged F = -(i/4) T_uv
+    (T from clover_field). Validated against the exact abelian
+    constant-flux oracle Q = 2 q1 q2 prod sinc (tests/test_su3_comp.py).
+
+    LOCAL sum when x is a shard — psum over 'lattice' to interpret."""
+    t10, t20, t21, t30, t31, t32 = clover_field(x, lat, nb, roll)
+    q = (trace_mm(t10, t32)[0] - trace_mm(t20, t31)[0]
+         + trace_mm(t30, t21)[0])
+    dens = -(1.0 / (64.0 * math.pi ** 2)) * q.reshape(-1)
+    return _chain_sum(dens, nb)
+
+
 def action(x: F3, beta, lat, nb: int, roll=None,
            c1: float = 0.0) -> jax.Array:
     """Wilson (c1=0) or improved (DBW2/Iwasaki, c1 != 0) gauge action:

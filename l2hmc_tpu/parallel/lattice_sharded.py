@@ -183,6 +183,42 @@ class ShardedLatticeSU3:
     def plaqs(self, x):
         return self._plaqs_sh(x)
 
+    def flow(self, x, eps, nsteps: int):
+        """Wilson-flow the mesh-laid-out field (ops/wilson_flow RK3 over
+        the halo-exchange roll); returns (flowed x, {'t','plaq','t2E',
+        'Qclover'}) with observables psum'd over 'lattice'. Same comms
+        pattern as the force: every flow hop is a +-1 slab ppermute."""
+        key = ("flow", int(nsteps), float(eps))
+        if key not in self._traj_sh:
+            from l2hmc_tpu.ops import su3_comp as comp
+            from l2hmc_tpu.ops import wilson_flow as wf
+            from l2hmc_tpu.parallel.sharded_train import (
+                make_sharded_comp_roll)
+            nb_l = self.nchains // self.n_data
+            lat_l = self.local_volume
+            roll = make_sharded_comp_roll(lat_l, nb_l)
+            vol = self.volume
+
+            def body(x_aos):
+                xc = comp.from_complex_lattice(x_aos)
+                res = wf.flow(xc, eps, nsteps, lat_l, nb_l, roll=roll)
+                tr_g = jax.lax.psum(res.tr, "lattice")
+                q_l = comp.topo_charge_clover(res.x, lat_l, nb_l,
+                                              roll=roll)
+                q = jax.lax.psum(q_l, "lattice")
+                x_out = comp.to_complex_lattice(res.x, lat_l, nb_l,
+                                                x_aos.dtype)
+                return x_out, res.t, tr_g, q
+
+            self._traj_sh[key] = jax.jit(shard_map(
+                body, mesh=self.mesh, in_specs=(X_SPEC,),
+                out_specs=(X_SPEC, P(), P(None, "data"), P("data"))))
+        from l2hmc_tpu.ops import wilson_flow as wf
+        x2, t, tr, q = self._traj_sh[key](x)
+        obs = wf.flow_observables(t, tr, self.volume)
+        obs["Qclover"] = q
+        return x2, obs
+
     def hmc_trajectory(self, x, v, beta, eps, nlf: int):
         """nlf leapfrog steps + dH; returns (x', v', dH = H0 - H1)."""
         if nlf not in self._traj_sh:

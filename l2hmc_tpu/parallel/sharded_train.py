@@ -693,16 +693,21 @@ class ShardedTrainerSU3:
             ))
         return self._jit["obs"](x_init, x_out, jnp.asarray(beta))
 
-    def hmc_step(self, x, beta, key, eps, nleapfrog: int):
-        """Network-free HMC MH step on the 2-D mesh with the same metric
-        keys as the single-device Trainer's hmc_step (warmup + the
-        matched-cost baseline of measure_improvement)."""
+    def _ensure_lat(self):
+        """Lazy ShardedLatticeSU3 (plain HMC + Wilson flow on the mesh)."""
         if self._lat_sharded is None:
             from l2hmc_tpu.parallel.lattice_sharded import ShardedLatticeSU3
             self._lat_sharded = ShardedLatticeSU3(
                 self.mesh, self.cfg.dynamics.nchains, list(self.lat),
                 c1=getattr(self.cfg, "c1", 0.0))
-        x_out, m = self._lat_sharded.hmc_step(x, beta, key, eps, nleapfrog)
+        return self._lat_sharded
+
+    def hmc_step(self, x, beta, key, eps, nleapfrog: int):
+        """Network-free HMC MH step on the 2-D mesh with the same metric
+        keys as the single-device Trainer's hmc_step (warmup + the
+        matched-cost baseline of measure_improvement)."""
+        x_out, m = self._ensure_lat().hmc_step(x, beta, key, eps,
+                                               nleapfrog)
         metrics = {"acc": m["acc"], "acc_mask": m["acc_mask"]}
         metrics.update(self._obs_metrics(x, x_out, beta))
         return x_out, metrics

@@ -105,7 +105,22 @@ class Trainer:
         if lr.clip_norm and lr.clip_norm > 0:
             chain.append(optax.clip_by_global_norm(lr.clip_norm))
         self._plateau = None
-        if lr.warmup and lr.warmup > 0:
+        if lr.schedule == "noam":
+            # Noam/transformer rate: lr_init * d^-1/2 * min(s^-1/2,
+            # s * warmup^-3/2) (reference learning_rate/pytorch/
+            # learning_rate.py:11-19; model_size=0 infers the widest
+            # hidden layer). Pure optax schedule — jit-native, no host
+            # controller.
+            d = float(lr.model_size or max(cfg.network.units))
+            w = float(max(lr.warmup, 1))
+
+            def noam(step):
+                s = jnp.maximum(step.astype(jnp.float32), 1.0)
+                return lr.lr_init * (d ** -0.5) * jnp.minimum(
+                    s ** -0.5, s * w ** -1.5)
+
+            chain.append(optax.adam(noam))
+        elif lr.warmup and lr.warmup > 0:
             sched = optax.linear_schedule(0.0, lr.lr_init, lr.warmup)
             chain.append(optax.adam(sched))
         else:
@@ -422,6 +437,48 @@ class Trainer:
             jnp.asarray(eps, self.dynamics.real_dtype))
 
     # ------------------------------------------------------------------
+    # Wilson-flowed eval observables (flow_nsteps > 0, SU(3) only):
+    # flowed clover topological charge + smoothed plaquette + t^2 E per
+    # draw (ops/wilson_flow.py). The reference has no flow and its SU(3)
+    # integer charge is a TODO stub — the flowed clover charge is the
+    # observable that actually shows integer tunneling.
+    # ------------------------------------------------------------------
+    @property
+    def _flow_enabled(self) -> bool:
+        return (self.cfg.dynamics.group == "SU3"
+                and int(getattr(self.cfg, "flow_nsteps", 0)) > 0)
+
+    def _flow_metrics(self, x) -> dict:
+        ns = int(self.cfg.flow_nsteps)
+        eps = float(self.cfg.flow_eps)
+        if self.sharded is not None:
+            _, obs = self.sharded._ensure_lat().flow(x, eps, ns)
+            return {"flowQ": obs["Qclover"], "flow_plaq": obs["plaq"][-1],
+                    "flow_t2E": obs["t2E"][-1]}
+        key = ("flow", ns, eps, x.shape)
+        if key not in self._jit_cache:
+            import numpy as _np
+
+            from l2hmc_tpu.ops import su3_comp as comp
+            from l2hmc_tpu.ops import wilson_flow as wf
+            lat = tuple(self.cfg.dynamics.latvolume)
+            vol = int(_np.prod(lat))
+
+            def fobs(x):
+                nb = x.shape[0]
+                res = wf.flow(comp.from_complex_lattice(x), eps, ns,
+                              lat, nb)
+                q = comp.topo_charge_clover(res.x, lat, nb)
+                o = wf.flow_observables(res.t, res.tr, vol)
+                # plaq/t2E are measured at step STARTS; [-1] is the
+                # deepest measured time (ns-1)*eps
+                return {"flowQ": q, "flow_plaq": o["plaq"][-1],
+                        "flow_t2E": o["t2E"][-1]}
+
+            self._jit_cache[key] = jax.jit(fobs)
+        return self._jit_cache[key](x)
+
+    # ------------------------------------------------------------------
     # Profiling (reference profile flag + Trainer.profile(),
     # trainers/pytorch/trainer.py:861-902)
     # ------------------------------------------------------------------
@@ -669,6 +726,8 @@ class Trainer:
                 x, metrics = self.eval_step(ts, x, beta, k)
             else:
                 x, metrics = self.hmc_step(x, beta, k, eps)
+            if self._flow_enabled:
+                metrics = {**metrics, **self._flow_metrics(x)}
             buffered.append(metrics)
             if (step + 1) % check_interval == 0 or step == steps - 1:
                 acc_avg = float(jnp.mean(metrics["acc"]))

@@ -181,3 +181,30 @@ def test_grad_accumulation():
     st = ts3.opt_state.inner_opt_state
     idx = 1 if (cfg.learning_rate.clip_norm or 0) > 0 else 0
     assert float(st[idx].hyperparams["learning_rate"]) == 1e-5
+
+
+def test_noam_lr_schedule():
+    """learning_rate.schedule=noam follows the transformer rate
+    (reference learning_rate/pytorch/learning_rate.py:11-19)."""
+    import numpy as np
+
+    from l2hmc_tpu.configs import get_config
+    from l2hmc_tpu.train.trainer import Trainer
+
+    cfg = get_config([
+        "dynamics.nchains=4", "dynamics.latvolume=[8, 8]",
+        "learning_rate.schedule=noam", "learning_rate.warmup=100",
+        "learning_rate.lr_init=1.0",
+    ])
+    tr = Trainer(cfg)
+    ts, x = tr.init_state(jax.random.PRNGKey(0))
+    d = max(cfg.network.units)
+
+    def rate(s):
+        s = max(s, 1)
+        return (d ** -0.5) * min(s ** -0.5, s * 100 ** -1.5)
+
+    # rate rises during warmup and decays after; check a train step runs
+    assert rate(50) < rate(100) > rate(400)
+    ts2, x2, m = tr.train_step(ts, x, 4.0, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
