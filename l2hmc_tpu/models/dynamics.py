@@ -50,6 +50,7 @@ from l2hmc_tpu.ops import u1 as u1g
 from l2hmc_tpu.ops import su3 as su3g
 from l2hmc_tpu.ops import su3_comp as comp
 from l2hmc_tpu.ops import lattice_u1, lattice_su3
+from l2hmc_tpu.utils import mh
 
 
 class State(NamedTuple):
@@ -853,15 +854,13 @@ class Dynamics:
         h_init = self.hamiltonian(state_init)
         h_prop = self.hamiltonian(state_prop)
         dh = h_init - h_prop + sumlogdet
-        return jnp.exp(jnp.minimum(dh, 0.0))
+        return mh.accept_prob(dh)
 
     def _blend(self, acc_mask, prop, init):
-        """out = acc * proposed + (1 - acc) * init, broadcast over dof."""
-        shape = (-1,) + (1,) * (prop.ndim - 1)
-        m = acc_mask.reshape(shape)
-        if jnp.issubdtype(prop.dtype, jnp.complexfloating):
-            m = m.astype(prop.dtype)
-        return m * prop + (1.0 - m) * init
+        """Per-chain accept select (utils/mh.select: where, not an
+        arithmetic blend — 0 * NaN from a rejected diverged proposal
+        must not leak into the kept state)."""
+        return mh.select(acc_mask, prop, init)
 
     def apply_transition_fb(self, params, masks, x, beta, key,
                             training=False):
@@ -879,7 +878,7 @@ class Dynamics:
             h_init = (comp.kinetic_energy(iv0, self._comp_nb(iv0))
                       + kmetrics.pop("h_init_partial"))
             dh = h_init - kmetrics.pop("h_prop") + sld
-            acc = jnp.exp(jnp.minimum(dh, 0.0))
+            acc = mh.accept_prob(dh)
         else:
             acc = self.compute_accept_prob(init, prop, sld)
         u = jax.random.uniform(k_acc, acc.shape, dtype=acc.dtype)
@@ -990,7 +989,7 @@ class Dynamics:
         sld = jnp.zeros(x.shape[0], dtype=self.real_dtype)
         # dh comes out of the trajectory itself (the SU(3) path gets the
         # action traces free with every force evaluation)
-        acc = jnp.exp(jnp.minimum(dh, 0.0)).astype(self.real_dtype)
+        acc = mh.accept_prob(dh).astype(self.real_dtype)
         u = jax.random.uniform(k_acc, acc.shape, dtype=acc.dtype)
         acc_mask = (acc > u).astype(self.real_dtype)
         x_out = self._blend(acc_mask, prop.x, init.x)

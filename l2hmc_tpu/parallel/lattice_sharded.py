@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from l2hmc_tpu.ops import lattice_su3, su3 as g
 from l2hmc_tpu.parallel.halo import make_sharded_roll
+from l2hmc_tpu.utils import mh
 
 try:  # jax >= 0.4.35 exposes shard_map at top level
     shard_map = jax.shard_map
@@ -238,9 +239,8 @@ class ShardedLatticeSU3:
         v = g.random_momentum(k_v, self.xshape, dtype=x.dtype)
         v = self.shard(v)
         xp, vp, dh = self.hmc_trajectory(x, v, beta, eps, nlf)
-        acc = jnp.exp(jnp.minimum(dh, 0.0))
+        acc = mh.accept_prob(dh)
         u = jax.random.uniform(k_u, acc.shape, dtype=acc.dtype)
         mask = (acc > u).astype(x.real.dtype)
-        m = mask.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
-        x_out = m * xp + (1.0 - m) * x
+        x_out = mh.select(mask, xp, x)
         return x_out, {"acc": acc, "acc_mask": mask, "dh": dh}

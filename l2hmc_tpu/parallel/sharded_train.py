@@ -53,6 +53,7 @@ from l2hmc_tpu.ops import su3 as g
 from l2hmc_tpu.ops import su3_comp as comp
 from l2hmc_tpu.parallel.halo import roll_halo
 from l2hmc_tpu.parallel.lattice_sharded import X_SPEC, make_mesh_2d
+from l2hmc_tpu.utils import mh
 
 try:
     shard_map = jax.shard_map
@@ -564,12 +565,12 @@ class ShardedTrainerSU3:
                 xp, vp, sld, h0, h1, ys = self._kernel_fb(p, masks, x, v,
                                                           beta)
                 dh = h0 - h1 + sld
-                acc = jnp.exp(jnp.minimum(dh, 0.0))
+                acc = mh.accept_prob(dh)
                 loss = self._loss_terms(x, xp, acc, beta)
                 if aux_w > 0:
                     yp, _, sld_a, h0a, h1a, _ = self._kernel_fb(
                         p, masks, y, v_a, beta)
-                    acc_a = jnp.exp(jnp.minimum(h0a - h1a + sld_a, 0.0))
+                    acc_a = mh.accept_prob(h0a - h1a + sld_a)
                     loss = loss + aux_w * self._loss_terms(y, yp, acc_a,
                                                            beta)
                 return loss, (xp, acc, sld, ys)
@@ -580,8 +581,7 @@ class ShardedTrainerSU3:
                 lambda a: jax.lax.psum(a, ("data", "lattice")), grads)
             grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
             acc_mask = (acc > u).astype(self.rdt)
-            mb = acc_mask.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
-            x_out = mb * xp + (1.0 - mb) * x
+            x_out = mh.select(acc_mask, xp, x)
             metrics = {"acc": acc, "acc_mask": acc_mask,
                        "sumlogdet": acc_mask * sld}
             metrics.update(self._metrics_of(x, x_out, beta))
@@ -656,10 +656,9 @@ class ShardedTrainerSU3:
             xp, vp, sld, h0, h1, ys = self._kernel_fb(params, masks, x, v,
                                                       beta)
             dh = h0 - h1 + sld
-            acc = jnp.exp(jnp.minimum(dh, 0.0))
+            acc = mh.accept_prob(dh)
             acc_mask = (acc > u).astype(self.rdt)
-            mb = acc_mask.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
-            x_out = mb * xp + (1.0 - mb) * x
+            x_out = mh.select(acc_mask, xp, x)
             metrics = {"acc": acc, "acc_mask": acc_mask,
                        "sumlogdet": acc_mask * sld}
             metrics.update(self._metrics_of(x, x_out, beta))

@@ -265,3 +265,26 @@ def test_su3_sumlogdet_convention(eager):
     # single chain: reported logdet is exactly HALF the true 18-dof value
     np.testing.assert_allclose(2.0 * float(logdet[0]), float(true_ld),
                                rtol=1e-9)
+
+
+def test_nonfinite_dh_rejects_not_corrupts():
+    """A diverged trajectory (non-finite dH) must REJECT and keep the
+    previous state finite — not blend NaN into the chain (utils/mh).
+    Driven through the real HMC path with an absurd step size."""
+    import numpy as np
+
+    from l2hmc_tpu.utils import mh
+
+    # unit check: accept_prob treats nan/inf as reject
+    import jax.numpy as jnp
+    dh = jnp.asarray([0.5, -1.0, jnp.nan, jnp.inf, -jnp.inf])
+    acc = np.asarray(mh.accept_prob(dh))
+    assert acc[0] == 1.0 and 0 < acc[1] < 1
+    assert acc[2] == 0.0 and acc[3] == 0.0 and acc[4] == 0.0
+    # select keeps the init state bit-exact where rejected, even when
+    # the proposal is NaN
+    prop = jnp.full((3, 4), jnp.nan)
+    init = jnp.ones((3, 4))
+    out = np.asarray(mh.select(jnp.asarray([0.0, 1.0, 0.0]), prop, init))
+    assert np.all(np.isfinite(out[0])) and np.all(np.isfinite(out[2]))
+    assert np.all(np.isnan(out[1]))
