@@ -19,11 +19,35 @@ def _ckpt_dir(outdir: str) -> str:
     return os.path.join(os.path.abspath(outdir), "checkpoints")
 
 
+def _complex_to_host(tree: Any) -> Any:
+    """Device->host transfer for complex leaves BEFORE orbax sees them.
+
+    The axon TPU runtime cannot DMA complex arrays to the host: orbax's
+    save path (`np.asarray(device_array)` in replica_slices.py) raises
+    `UNIMPLEMENTED: TPU backend error` on the complex64 SU(3) lattice,
+    killing the whole run at the first era checkpoint. Real scalars and
+    float tensors transfer fine, so the fix is local: split each complex
+    leaf into re/im float transfers (two on-device projections) and
+    recombine on host into the identical numpy complex array. Restore is
+    untouched — it reads from disk, no device transfer involved."""
+    import jax.numpy as jnp
+
+    def leaf(a):
+        if isinstance(a, jax.Array) and jnp.iscomplexobj(a):
+            re = np.asarray(jnp.real(a))
+            im = np.asarray(jnp.imag(a))
+            cplx = np.complex64 if re.dtype == np.float32 else np.complex128
+            return (re + 1j * im).astype(cplx)
+        return a
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
 def save_checkpoint(outdir: str, step: int, tree: Any) -> str:
     import orbax.checkpoint as ocp
     path = os.path.join(_ckpt_dir(outdir), f"ckpt_{int(step):08d}")
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, tree, force=True)
+    ckptr.save(path, _complex_to_host(tree), force=True)
     return path
 
 

@@ -74,3 +74,31 @@ def test_restore_with_no_checkpoint_starts_fresh(tmp_path):
     ts, x = ex.setup()
     assert ex._start_era == 0
     assert int(ts.step) == 0
+
+
+def test_checkpoint_complex_leaves_roundtrip(tmp_path):
+    """Complex leaves (the SU(3) lattice) must survive save->restore.
+
+    On the axon TPU backend orbax's direct device->host transfer of a
+    complex64 array raises UNIMPLEMENTED mid-save (observed killing a
+    full training run at the first era checkpoint); save_checkpoint now
+    pre-transfers complex leaves as re/im float pairs. This test pins the
+    roundtrip semantics (values, dtypes) that the fix must preserve."""
+    from l2hmc_tpu.utils import checkpoint as ckpt
+
+    key = jax.random.key(0)
+    tree = {
+        "x": jax.numpy.asarray(
+            np.arange(12).reshape(3, 4) + 1j * np.ones((3, 4)),
+            dtype=np.complex64),
+        "w": jax.numpy.ones((2, 2), np.float32),
+        "era": np.int64(2),
+    }
+    ckpt.save_checkpoint(tmp_path, 7, tree)
+    got = ckpt.restore_checkpoint(tmp_path, jax.tree_util.tree_map(
+        np.zeros_like, tree))
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got["x"]), np.asarray(tree["x"]))
+    assert np.asarray(got["x"]).dtype == np.complex64
+    np.testing.assert_array_equal(np.asarray(got["w"]), np.asarray(tree["w"]))
+    assert int(got["era"]) == 2
