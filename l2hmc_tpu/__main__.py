@@ -96,6 +96,11 @@ def main(argv=None):
         import jax
         jax.config.update("jax_enable_x64", True)
 
+    # Fail fast (instead of hanging forever) when the TPU tunnel is
+    # wedged by a stale session — no-op for JAX_PLATFORMS=cpu runs.
+    from l2hmc_tpu.utils.backend_guard import ensure_backend
+    ensure_backend()
+
     if config_path is not None:
         from l2hmc_tpu.configs import load_yaml
         from l2hmc_tpu.experiment import Experiment

@@ -43,6 +43,9 @@ def check_su(tag: str, x) -> tuple[float, float]:
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     argv = list(argv if argv is not None else sys.argv[1:])
+    # fail fast when the TPU tunnel is wedged (no-op on CPU runs)
+    from l2hmc_tpu.utils.backend_guard import ensure_backend
+    ensure_backend()
 
     overrides = [
         "dynamics.nchains=8",
