@@ -30,8 +30,12 @@ jax.config.update("jax_enable_x64", True)
 # (first run pays, reruns are instant). The cache dir is keyed by a host
 # fingerprint so AOT entries written on another machine are MISSES, not
 # SIGILL/SIGSEGV inside the deserializer (a full-suite run once crashed
-# at 89% reading a foreign entry). The 30 s write threshold also stays:
-# jax 0.9's serializer has segfaulted writing ~15 s CPU executables.
+# at 89% reading a foreign entry). Cache WRITES are fork-isolated:
+# jax 0.9's serializer segfaulted the one-process suite deterministically
+# at ~98% (rc=139, inside a pjit compile that crossed the write threshold
+# only in a warm process) — in a forked child a crash loses one cache
+# entry instead of the run. With writes crash-proof, the threshold drops
+# 30 s -> 5 s so warm suite runs skip far more XLA compiles.
 from l2hmc_tpu.utils.compile_cache import configure as _configure_cache  # noqa: E402
 
 _configure_cache(os.path.join(os.path.dirname(__file__), ".jax_cache"))
