@@ -298,7 +298,12 @@ def vec_to_group(x: jax.Array) -> jax.Array:
 # Random elements
 # ---------------------------------------------------------------------------
 def random(key: jax.Array, shape: Sequence[int], dtype=jnp.complex128) -> jax.Array:
-    """Haar-ish random SU(3): projectSU of a complex Gaussian (group.py:113-119)."""
+    """Haar random SU(3): projectSU of a complex Gaussian (the reference's
+    own `random`, group/su3/pytorch/group.py:113-119). Exactly Haar: the
+    Ginibre density is invariant under left unitary multiplication, so its
+    polar factor carries the unique left-invariant (= Haar) measure;
+    verified vs a Householder-QR oracle (eigenangle KS D = 0.005, see
+    tests/test_distributions.py)."""
     rdt = _real_dtype(dtype)
     kr, ki = jax.random.split(key)
     r = jax.random.normal(kr, shape, dtype=rdt)
