@@ -28,11 +28,16 @@ ESS per MD step; acceptance rate"): the head row reports acceptance plus
 tau_int / ESS-per-MD-step of the plaquette series (Madras-Sokal,
 utils/autocorr.chain_stats) over the thermalized timing draws.
 
-`python bench.py --u1` reports 2D U(1) *training* throughput against the
-reference's published A100 number (BASELINE.md: ~0.093 s/step at 2048
-chains, 16x16, nlf=4 merged => ~1.76e5 chain-lf-evals/s).
-The default SU(3) output always includes the utilization rows (128
-chains = VPU saturation; 8^4 = large volume) — VERDICT r2 #2.
+The default output carries the whole story (VERDICT r4 #3): the scored
+SU(3) head row, the utilization rows (128 chains = VPU saturation;
+8^4 = large volume — VERDICT r2 #2), a 16^4 x 32-chain ROOFLINE row
+(8.4M HBM-resident links, past the latency regime; its "bound" field
+reconciles with the measured 1316 GFLOP/s su3_comp.mm VPU ceiling from
+benchmarks/mxu_su3_mm.py), and the 2D U(1) *training* row under
+"u1_train" against the reference's published A100 number (BASELINE.md:
+~0.093 s/step at 2048 chains, 16x16, nlf=4 merged => ~1.76e5
+chain-lf-evals/s). `python bench.py --u1` still emits the U(1) row
+alone; `--head-only` skips everything but the scored head row.
 
 Robustness (VERDICT r3 #1 — the round-3 scored bench died with
 `Unable to initialize backend 'axon': UNAVAILABLE`): the axon tunnel
@@ -152,6 +157,12 @@ TORCH_CPU_SU3_MD_STEPS_PER_SEC = 14.853   # benchmarks/torch_su3_baseline.py
 A100_U1_EVALS_PER_SEC = 2048 * 8 / 0.093  # BASELINE.md ~1.76e5
 V5E_PEAK_BF16_GFLOPS = 197_000.0
 V5E_PEAK_HBM_GBPS = 819.0
+# Measured ceiling of the production su3_comp.mm op itself on this chip
+# (benchmarks/mxu_su3_mm.py, 524k HBM-resident links, f32 k-broadcast VPU
+# form; HBM-bound at ~1.4 FLOP/byte). This — not the 197 TF/s bf16 MXU
+# number — is the roof the SU(3) kernel can actually approach: the 3-long
+# contraction leaves the MXU ~2-5% dense (measured 80-150x slower).
+SU3_MM_VPU_CEILING_GFLOPS = 1316.0
 
 
 def _roundtrip():
@@ -178,7 +189,7 @@ def _cost(compiled):
 
 
 def bench_su3_at(nchains: int, L: int, K: int = 50, nlf_half: int = 5,
-                 eps0: float = 0.01, ess: bool = False):
+                 eps0: float = 0.01, ess: bool = False, therm: int = 4):
     from l2hmc_tpu.configs import get_config
     from l2hmc_tpu.train.trainer import Trainer
     from l2hmc_tpu.utils.sync import sync
@@ -218,11 +229,13 @@ def bench_su3_at(nchains: int, L: int, K: int = 50, nlf_half: int = 5,
     V = L ** 4
     flops = 82 * 216 * V * nchains * K * nlf
 
-    # thermalize: 4 x K MD steps from the cold start (also warms compile)
+    # thermalize: therm x K MD steps from the cold start (also warms
+    # compile); big-volume roofline rows use therm=2 — their metric is
+    # state-independent dense-matmul throughput, not equilibrium physics
     series = []
-    for i in range(4):
+    for i in range(therm):
         x, acc, plaqs = multi(x, jax.random.PRNGKey(10 + i))
-        if i >= 2:           # keep the equilibrated half for autocorr
+        if i >= therm // 2:  # keep the equilibrated half for autocorr
             series.append(plaqs)
     sync(x)
     rt = _roundtrip()
@@ -250,13 +263,25 @@ def bench_su3_at(nchains: int, L: int, K: int = 50, nlf_half: int = 5,
     gflops = flops / elapsed / 1e9
     out["gflops"] = round(gflops, 1)
     out["pct_mxu_peak"] = round(100.0 * gflops / V5E_PEAK_BF16_GFLOPS, 3)
+    # the roof this kernel can actually hit: the measured VPU rate of its
+    # own hot op (su3_comp.mm) — the 3-long contraction cannot engage the
+    # MXU (measured 80-150x slower; benchmarks/mxu_su3_mm.py)
+    pct_vpu = 100.0 * gflops / SU3_MM_VPU_CEILING_GFLOPS
+    out["pct_vpu_ceiling"] = round(pct_vpu, 1)
     if nbytes:
         gbps = nbytes / elapsed / 1e9
         out["hbm_gbps"] = round(gbps, 1)
         out["pct_hbm_peak"] = round(100.0 * gbps / V5E_PEAK_HBM_GBPS, 1)
+    if pct_vpu >= 40.0:
         out["bound"] = (
-            "hbm-bandwidth" if gbps > 0.5 * V5E_PEAK_HBM_GBPS
-            else "latency/occupancy (workload too small for either roof)")
+            f"vpu-compute ({pct_vpu:.0f}% of the 1316 GFLOP/s measured "
+            "su3_comp.mm ceiling, itself HBM-bound at 1.4 FLOP/byte — "
+            "benchmarks/mxu_su3_mm.py)")
+    elif nbytes and gbps > 0.5 * V5E_PEAK_HBM_GBPS:
+        out["bound"] = "hbm-bandwidth"
+    else:
+        out["bound"] = (
+            "latency/occupancy (workload too small for either roof)")
     return out
 
 
@@ -279,12 +304,18 @@ def bench_su3(extra_rows: bool = True):
     if extra_rows:
         rows = []
         # utilization rows (VERDICT r2 #2): 128 chains saturates the
-        # VPU; 8^4 is the large-volume regime. Each row is isolated so
-        # one failure can't void the artifact.
+        # VPU; 8^4 is the large-volume regime; 16^4 x 32 is the roofline
+        # row (VERDICT r4 #4): ~2.1M site-chains / 8.4M HBM-resident
+        # links — 16x the mxu_su3_mm.py study's batch, deep past the
+        # latency regime, where the kernel must reconcile with the
+        # measured 1316 GFLOP/s su3_comp.mm VPU ceiling. Each row is
+        # isolated so one failure can't void the artifact.
         for args, kwargs in (((128, 4), {}),
                              # dH ~ eps^2 * V: halve eps at 16x the
                              # volume to keep acceptance sane
-                             ((8, 8), {"K": 20, "eps0": 0.005})):
+                             ((8, 8), {"K": 20, "eps0": 0.005}),
+                             ((32, 16), {"K": 10, "eps0": 0.002,
+                                         "therm": 2})):
             try:
                 rows.append(bench_su3_at(*args, **kwargs))
             except Exception as e:  # noqa: BLE001 — artifact must land
@@ -292,6 +323,13 @@ def bench_su3(extra_rows: bool = True):
                              "error": f"{type(e).__name__}: {e}"[:500]})
             _PARTIAL["rows"] = list(rows)
         result["rows"] = rows
+        # the flagship U(1) TRAINING number (BASELINE config #1) rides in
+        # the same scored artifact (VERDICT r4 #3) instead of --u1-only
+        try:
+            result["u1_train"] = bench_u1()
+        except Exception as e:  # noqa: BLE001 — artifact must land
+            result["u1_train"] = {"error": f"{type(e).__name__}: {e}"[:500]}
+        _PARTIAL["u1_train"] = result["u1_train"]
     return result
 
 

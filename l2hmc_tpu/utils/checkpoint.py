@@ -29,11 +29,21 @@ def _complex_to_host(tree: Any) -> Any:
     float tensors transfer fine, so the fix is local: split each complex
     leaf into re/im float transfers (two on-device projections) and
     recombine on host into the identical numpy complex array. Restore is
-    untouched — it reads from disk, no device transfer involved."""
+    untouched — it reads from disk, no device transfer involved.
+
+    Only fully-addressable arrays are split: gathering a leaf that spans
+    non-addressable devices (multi-host mesh-sharded lattice) would raise,
+    and even on one host it would destroy the sharding orbax's native
+    handler preserves — those leaves pass straight through to orbax,
+    whose TensorStore path does per-shard device->host transfers itself
+    (the axon complex-DMA bug is a single-chip-tunnel quirk; mesh-sharded
+    runs are CPU/pod runs where complex DMA works)."""
     import jax.numpy as jnp
 
     def leaf(a):
-        if isinstance(a, jax.Array) and jnp.iscomplexobj(a):
+        if (isinstance(a, jax.Array) and jnp.iscomplexobj(a)
+                and a.is_fully_addressable
+                and len(a.sharding.device_set) == 1):
             re = np.asarray(jnp.real(a))
             im = np.asarray(jnp.imag(a))
             cplx = np.complex64 if re.dtype == np.float32 else np.complex128
