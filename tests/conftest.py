@@ -34,8 +34,14 @@ jax.config.update("jax_enable_x64", True)
 # jax 0.9's serializer segfaulted the one-process suite deterministically
 # at ~98% (rc=139, inside a pjit compile that crossed the write threshold
 # only in a warm process) — in a forked child a crash loses one cache
-# entry instead of the run. With writes crash-proof, the threshold drops
-# 30 s -> 5 s so warm suite runs skip far more XLA compiles.
+# entry instead of the run, and the child writes entries ATOMICALLY
+# (tmp + os.replace) so its own crash can't leave a truncated file.
+# Cache READS of not-yet-verified entries are probe-deserialized in a
+# forked child first (deserialize of a corrupt entry SIGSEGVed the main
+# process at the same test once the write crash was contained); a crashed
+# probe deletes the entry and recompiles. With both sides crash-proof,
+# the write threshold drops 30 s -> 5 s so warm suite runs skip far more
+# XLA compiles.
 from l2hmc_tpu.utils.compile_cache import configure as _configure_cache  # noqa: E402
 
 _configure_cache(os.path.join(os.path.dirname(__file__), ".jax_cache"))

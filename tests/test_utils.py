@@ -85,3 +85,51 @@ def test_compile_cache_machine_keyed(tmp_path):
     assert fp == cc.host_fingerprint()  # stable within a host
     d = cc.machine_cache_dir(str(tmp_path))
     assert os.path.isdir(d) and os.path.basename(d) == fp
+
+def test_probe_entry_crash_deletes_corrupt_entry(tmp_path):
+    """A cache entry whose deserialization CRASHES the probe child must be
+    deleted (reader sees a clean miss) — the r4 full-suite SIGSEGV was the
+    main process deserializing an entry a crashed writer left truncated."""
+    import signal
+
+    from l2hmc_tpu.utils import compile_cache as cc
+
+    entry = str(tmp_path / "k-cache")
+    for suffix in ("-cache", "-atime"):
+        (tmp_path / f"k{suffix}").write_bytes(b"garbage")
+
+    def segv_probe():
+        os.kill(os.getpid(), signal.SIGSEGV)
+
+    assert cc.probe_entry(entry, segv_probe, timeout_secs=30) == "deleted"
+    assert not os.path.exists(entry)
+    assert not os.path.exists(str(tmp_path / "k-atime"))
+    assert not os.path.exists(entry + ".ok")
+
+    # a probe that raises (e.g. zstd error on a truncated file) also
+    # classifies as corrupt — exceptions and signals both delete
+    (tmp_path / "k-cache").write_bytes(b"garbage")
+
+    def raising_probe():
+        raise ValueError("truncated")
+
+    assert cc.probe_entry(entry, raising_probe, timeout_secs=30) == "deleted"
+    assert not os.path.exists(entry)
+
+
+def test_probe_entry_ok_writes_marker_once(tmp_path):
+    """A successful probe writes the .ok marker so future reads of that
+    entry skip the fork entirely; a miss probe leaves the entry alone."""
+    from l2hmc_tpu.utils import compile_cache as cc
+
+    entry = str(tmp_path / "k-cache")
+    (tmp_path / "k-cache").write_bytes(b"valid-enough")
+
+    assert cc.probe_entry(entry, lambda: True, timeout_secs=30) == "ok"
+    assert os.path.exists(entry + ".ok")
+    assert os.path.exists(entry)
+
+    os.remove(entry + ".ok")
+    assert cc.probe_entry(entry, lambda: False, timeout_secs=30) == "miss"
+    assert os.path.exists(entry)          # miss never deletes
+    assert not os.path.exists(entry + ".ok")
