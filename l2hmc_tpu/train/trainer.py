@@ -115,11 +115,16 @@ class Trainer:
             w = float(max(lr.warmup, 1))
 
             def noam(step):
-                s = jnp.maximum(step.astype(jnp.float32), 1.0)
+                s = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
                 return lr.lr_init * (d ** -0.5) * jnp.minimum(
                     s ** -0.5, s * w ** -1.5)
 
-            chain.append(optax.adam(noam))
+            # inject_hyperparams evaluates the schedule each update and
+            # stores the value it actually applied in
+            # opt_state.hyperparams["learning_rate"] — observable by tests
+            # and logs, instead of a private closure inside adam
+            chain.append(optax.inject_hyperparams(optax.adam)(
+                learning_rate=noam))
         elif lr.warmup and lr.warmup > 0:
             sched = optax.linear_schedule(0.0, lr.lr_init, lr.warmup)
             chain.append(optax.adam(sched))

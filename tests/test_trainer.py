@@ -184,8 +184,13 @@ def test_grad_accumulation():
 
 
 def test_noam_lr_schedule():
-    """learning_rate.schedule=noam follows the transformer rate
-    (reference learning_rate/pytorch/learning_rate.py:11-19)."""
+    """learning_rate.schedule=noam: the LR optax ACTUALLY applied — read
+    from opt_state.hyperparams after each train step, the same way
+    test_grad_accumulation inspects the plateau rewrite — matches the
+    closed-form transformer rate lr_init * d^-1/2 * min(s^-1/2,
+    s*warmup^-3/2) (reference learning_rate/pytorch/learning_rate.py:11-19)
+    at every step. A mis-wired schedule (wrong constant, never advancing,
+    silently replaced by a fixed lr) fails here."""
     import numpy as np
 
     from l2hmc_tpu.configs import get_config
@@ -194,7 +199,7 @@ def test_noam_lr_schedule():
     cfg = get_config([
         "dynamics.nchains=4", "dynamics.latvolume=[8, 8]",
         "learning_rate.schedule=noam", "learning_rate.warmup=100",
-        "learning_rate.lr_init=1.0",
+        "learning_rate.lr_init=1.0", "learning_rate.clip_norm=1.0",
     ])
     tr = Trainer(cfg)
     ts, x = tr.init_state(jax.random.PRNGKey(0))
@@ -204,7 +209,25 @@ def test_noam_lr_schedule():
         s = max(s, 1)
         return (d ** -0.5) * min(s ** -0.5, s * 100 ** -1.5)
 
-    # rate rises during warmup and decays after; check a train step runs
+    def applied_lr(train_state):
+        st = train_state.opt_state
+        st = getattr(st, "inner_opt_state", st)  # unwrap MultiSteps
+        for part in st:
+            if hasattr(part, "hyperparams"):
+                return float(part.hyperparams["learning_rate"])
+        raise AssertionError("no hyperparams in opt_state — schedule "
+                             "not wired through inject_hyperparams")
+
+    key = jax.random.PRNGKey(1)
+    for step in range(1, 4):
+        key, sub = jax.random.split(key)
+        ts, x, m = tr.train_step(ts, x, 4.0, sub)
+        assert np.isfinite(float(m["loss"]))
+        got = applied_lr(ts)
+        # inject_hyperparams evaluates the schedule at its pre-update
+        # count (step-1); noam clamps s to >= 1
+        want = rate(step - 1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=(
+            f"applied lr at step {step} is {got}, closed form says {want}"))
+    # sanity on the shape itself: rises through warmup, decays after
     assert rate(50) < rate(100) > rate(400)
-    ts2, x2, m = tr.train_step(ts, x, 4.0, jax.random.PRNGKey(1))
-    assert np.isfinite(float(m["loss"]))
