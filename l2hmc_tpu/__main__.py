@@ -80,7 +80,14 @@ def main(argv=None):
         m = _re.search(r"host_platform_device_count=(\d+)",
                        _os.environ.get("XLA_FLAGS", ""))
         if m and _os.environ["JAX_PLATFORMS"] == "cpu":
-            jax.config.update("jax_num_cpu_devices", int(m.group(1)))
+            try:
+                jax.config.update("jax_num_cpu_devices", int(m.group(1)))
+            except RuntimeError:
+                # backend already initialized in this process (in-process
+                # main() after other jax work, e.g. from tests): XLA_FLAGS
+                # already delivered the device count at init — nothing to
+                # change, and changing it now is impossible anyway
+                pass
 
     # x64 must flip before any array is created. Normalize the requested
     # precision through the synonym table so e.g. precision=single/half/

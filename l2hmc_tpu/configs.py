@@ -51,6 +51,15 @@ class Steps(BaseConfig):
     log: Optional[int] = None
     print: Optional[int] = None
     extend_last_era: Optional[int] = None
+    #: pre-training HMC thermalization budget. 0 (default) = adaptive:
+    #: run to plaquette stationarity under small caps (trainer.warmup).
+    #: N > 0 = run EXACTLY N trajectories before era 0 (N//4 before each
+    #: later era), no early stop — fixed-budget thermalization, the
+    #: standard lattice practice for volumes where short trajectories
+    #: plateau-fool the stationarity test (observed: 8^4 started training
+    #: at plaq 0.0007 vs equilibrium ~0.55 because the adaptive warmup
+    #: bailed after <60 steps).
+    warmup: int = 0
 
     def __post_init__(self):
         if self.extend_last_era is None:

@@ -37,6 +37,21 @@ def mixed_loss(loss: jax.Array, weight: float) -> jax.Array:
     return weight / loss - loss / weight
 
 
+def _finite_or_zero(term: jax.Array) -> jax.Array:
+    """Zero out per-chain loss entries from blown-up proposals.
+
+    A chain whose leapfrog diverged has NaN in x_prop; the NaN-robust MH
+    (utils/mh.py) already gives it acceptance 0, but `0 * (q2-q1)^2` is
+    0*NaN = NaN, which poisons the batch mean and then — via the
+    reference-parity nan_to_num on gradients (trainer.py:249-251,
+    reference experiment/pytorch/experiment.py:55) — silently zeroes the
+    ENTIRE gradient: training becomes a no-op while a single chain is
+    divergent (observed: 8^4 hot-start run, loss=nan every step, zero
+    learning). Zeroing just the divergent chain keeps the other chains'
+    signal; the where() has zero gradient into the dead branch."""
+    return jnp.where(jnp.isfinite(term), term, jnp.zeros_like(term))
+
+
 class LatticeLoss:
     def __init__(self, lattice: Lattice, config: LossConfig):
         self.lattice = lattice
@@ -56,6 +71,7 @@ class LatticeLoss:
         p1 = self._plaq_sums(w1)
         p2 = self._plaq_sums(w2)
         ploss = acc * (p2 - p1) ** 2
+        ploss = _finite_or_zero(ploss)
         if self.config.use_mixed_loss:
             return jnp.mean(mixed_loss(ploss + 1e-4, self.config.plaq_weight))
         return jnp.mean(-ploss / self.config.plaq_weight)
@@ -68,6 +84,7 @@ class LatticeLoss:
             q1 = self.lattice.sin_charges(wloops=w1)
             q2 = self.lattice.sin_charges(wloops=w2)
         qloss = acc * (q2 - q1) ** 2
+        qloss = _finite_or_zero(qloss)
         if self.config.use_mixed_loss:
             return jnp.mean(mixed_loss(qloss + 1e-4, self.config.charge_weight))
         return jnp.mean(-qloss / self.config.charge_weight)
@@ -80,6 +97,7 @@ class LatticeLoss:
             dx2 = dx**2
         dx2 = dx2.reshape(dx2.shape[0], -1).mean(axis=1)
         rloss = acc * dx2
+        rloss = _finite_or_zero(rloss)
         if self.config.use_mixed_loss:
             return jnp.mean(mixed_loss(rloss + 1e-4, self.config.rmse_weight))
         return jnp.mean(-rloss / self.config.rmse_weight)

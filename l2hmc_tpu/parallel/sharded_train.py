@@ -133,12 +133,18 @@ class ShardedTrainerSU3:
     def __init__(self, cfg: ExperimentConfig, mesh: Mesh,
                  tx: Optional[Any] = None):
         assert cfg.dynamics.group == "SU3"
-        assert not cfg.network.use_batch_norm, (
-            "BN under the 2-D mesh is not wired yet (needs pmean over "
-            "'data'); disable use_batch_norm")
-        assert cfg.network.dropout_prob == 0, (
-            "dropout under the 2-D mesh is not wired yet (needs per-shard "
-            "feature-aligned masks); set dropout_prob=0")
+        # real exceptions, not asserts: these are user-config errors that
+        # must fire from the CLI even under python -O (configs.py:84-100
+        # documents the constraint and the rationale)
+        if cfg.network.use_batch_norm:
+            raise ValueError(
+                "BN under the 2-D mesh is not wired yet (needs pmean over "
+                "'data'); set network.use_batch_norm=false")
+        if cfg.network.dropout_prob != 0:
+            raise ValueError(
+                "dropout under the 2-D mesh is not wired yet (needs "
+                "per-shard feature-aligned masks); set "
+                "network.dropout_prob=0")
         self.cfg = cfg
         self.mesh = mesh
         self.n_lat = mesh.shape["lattice"]
@@ -478,6 +484,11 @@ class ShardedTrainerSU3:
         nch = self.cfg.dynamics.nchains
 
         def term(v, weight, n_elems):
+            # a divergent chain is 0(acc) * NaN(diff) = NaN, which would
+            # poison the psum and zero the whole gradient via the
+            # nan_to_num hook — drop just that chain (models/loss.py
+            # _finite_or_zero, same defect observed on the 8^4 hot start)
+            v = jnp.where(jnp.isfinite(v), v, jnp.zeros_like(v))
             if lc.use_mixed_loss:
                 v = weight / (v + 1e-4) - (v + 1e-4) / weight
             else:

@@ -509,7 +509,7 @@ class Trainer:
     # Warmup (trainer.py:1699-1744)
     # ------------------------------------------------------------------
     def warmup(self, x, beta, key, nsteps: int = 100, tol: float = 1e-5,
-               su3_rtol: float = 2e-3):
+               su3_rtol: float = 2e-3, exact: bool = False):
         """Thermalize with HMC (reference trainer.py:1699-1744).
 
         U(1): stop when the mean plaquette reaches the exact i1/i0 value
@@ -518,7 +518,10 @@ class Trainer:
         drift between two adjacent 5-step windowed means below su3_rtol
         (relative) — instead of a fixed step count (VERDICT r2 #9;
         round 2 always ran the fixed budget, asserting adequacy).
-        nsteps caps the loop either way."""
+        nsteps caps the loop either way; exact=True runs the full nsteps
+        budget with no early stop (fixed-budget thermalization for
+        volumes where short trajectories plateau-fool the stationarity
+        test — configs.Steps.warmup)."""
         eps = self.cfg.dynamics.eps_hmc
         pexact = (
             float(lattice_u1.plaq_exact(beta))
@@ -528,6 +531,8 @@ class Trainer:
         for step in range(nsteps):
             key, k = jax.random.split(key)
             x, metrics = self.hmc_step(x, beta, k, eps)
+            if exact:
+                continue
             p = float(jnp.mean(metrics["plaqs"]))
             if pexact is not None:
                 if abs(p - pexact) < tol:
@@ -579,12 +584,17 @@ class Trainer:
             # re-thermalize at EVERY era's new beta (the reference warms
             # up per era, trainer.py:1788 -> 1699-1744; round 1 only
             # warmed at era 0, training later eras off-equilibrium).
-            # SU(3) runs to plaquette stationarity, capped (see warmup)
-            if self.cfg.dynamics.group == "SU3":
+            # SU(3) runs to plaquette stationarity, capped (see warmup);
+            # steps.warmup > 0 switches to a fixed budget with no early
+            # stop (see configs.Steps.warmup)
+            fixed = int(getattr(self.cfg.steps, "warmup", 0) or 0)
+            if fixed > 0:
+                cap = fixed if era == 0 else max(1, fixed // 4)
+            elif self.cfg.dynamics.group == "SU3":
                 cap = 60 if era == 0 else 30
             else:
                 cap = 20 if era == 0 else 10
-            x, _ = self.warmup(x, beta, kw, nsteps=cap)
+            x, _ = self.warmup(x, beta, kw, nsteps=cap, exact=fixed > 0)
             epochs = nepoch
             if era == nera - 1 and steps.extend_last_era:
                 epochs = nepoch * int(steps.extend_last_era)

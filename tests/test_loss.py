@@ -83,3 +83,27 @@ def test_lattice_metrics_keys():
     x2 = u1g.random(jax.random.PRNGKey(10), (4, 128), dtype=jnp.float64)
     m = loss.lattice_metrics(x1, x2)
     assert set(m) >= {"plaqs", "intQ", "sinQ", "dQint", "dQsin"}
+
+def test_divergent_chain_does_not_poison_loss_or_grads():
+    """One chain with a NaN proposal (blown-up leapfrog) must cost ONLY
+    that chain: the loss stays finite and the other chains' gradient
+    survives. Before the fix, 0(acc) * NaN(diff) = NaN poisoned the batch
+    mean, and the reference-parity nan_to_num-on-grads then silently
+    zeroed the ENTIRE update — an 8^4 hot-start run trained for 600 steps
+    with loss=nan and learned nothing."""
+    lat = LatticeU1(4, [8, 8])
+    for mixed in (False, True):
+        cfg = LossConfig(use_mixed_loss=mixed, charge_weight=0.01,
+                         rmse_weight=0.01)
+        loss = LatticeLoss(lat, cfg)
+        x1 = u1g.random(jax.random.PRNGKey(11), (4, 128), dtype=jnp.float64)
+        x2 = u1g.random(jax.random.PRNGKey(12), (4, 128), dtype=jnp.float64)
+        x2 = x2.at[0].set(jnp.nan)                      # divergent chain
+        acc = jnp.array([0.0, 1.0, 1.0, 1.0], dtype=jnp.float64)
+
+        val, g = jax.value_and_grad(lambda xp: loss(x1, xp, acc))(x2)
+        assert np.isfinite(float(val)), f"mixed={mixed}: loss is not finite"
+        g = np.asarray(g)
+        # healthy chains keep their gradient signal
+        assert np.all(np.isfinite(g[1:])), f"mixed={mixed}"
+        assert float(np.max(np.abs(g[1:]))) > 0, f"mixed={mixed}"

@@ -231,3 +231,25 @@ def test_noam_lr_schedule():
             f"applied lr at step {step} is {got}, closed form says {want}"))
     # sanity on the shape itself: rises through warmup, decays after
     assert rate(50) < rate(100) > rate(400)
+
+
+def test_fixed_budget_warmup_runs_full_nsteps():
+    """steps.warmup > 0 thermalizes for EXACTLY the requested number of
+    HMC trajectories, no stationarity early-stop (configs.Steps.warmup —
+    the 8^4 record started training at plaq 0.0007 vs equilibrium ~0.55
+    because the adaptive warmup plateau-fooled after <60 steps)."""
+    cfg = tiny_u1_config()
+    trainer = Trainer(cfg)
+    _, x = trainer.init_state(jax.random.PRNGKey(50))
+    calls = []
+    real = trainer.hmc_step
+
+    def counting(x, beta, key, eps=None):
+        calls.append(1)
+        return real(x, beta, key, eps)
+
+    trainer.hmc_step = counting
+    # U(1) at beta=1: the adaptive path would stop at the exact-plaquette
+    # criterion; exact=True must ignore it and run the full budget
+    trainer.warmup(x, 1.0, jax.random.PRNGKey(51), nsteps=7, exact=True)
+    assert len(calls) == 7
