@@ -159,6 +159,11 @@ class DynamicsConfig(BaseConfig):
     # use hand-written Pallas TPU kernels for the lattice force
     # (l2hmc_tpu.ops.pallas); ignored off-TPU
     use_pallas: bool = False
+    #: start from the ordered configuration (identity links / zero
+    #: phases) instead of a Haar-random one. Standard lattice practice
+    #: in the ordered phase: a hot start at large volume can freeze
+    #: chains permanently (see models/dynamics.random_x).
+    cold_start: bool = False
 
     def __post_init__(self):
         self.group = self.group.upper()

@@ -310,6 +310,18 @@ class Dynamics:
 
     def random_x(self, key: jax.Array, nchains: Optional[int] = None) -> jax.Array:
         n = nchains or self.config.nchains
+        if getattr(self.config, "cold_start", False):
+            # ordered ("cold") start: identity links / zero phases. The
+            # standard lattice choice in the ordered phase — a HOT start
+            # at 8^4 beta=5.7 left half the chains permanently frozen
+            # (acc exactly 0 for 2000 draws: every proposal from the
+            # maximally rough config is rejected, and the mean-acc stuck
+            # redraw never fires because the other half is healthy).
+            if self.group == "U1":
+                return jnp.zeros((n, self.xdim), dtype=self.dtype)
+            eye = jnp.eye(3, dtype=self.dtype)
+            return jnp.broadcast_to(
+                eye, (n, *self.config.xshape[1:])).copy()
         if self.group == "U1":
             return u1g.random(key, (n, self.xdim), dtype=self.dtype)
         return su3g.random(key, (n, *self.config.xshape[1:]), dtype=self.dtype)

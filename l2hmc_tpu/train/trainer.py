@@ -521,7 +521,14 @@ class Trainer:
         nsteps caps the loop either way; exact=True runs the full nsteps
         budget with no early stop (fixed-budget thermalization for
         volumes where short trajectories plateau-fool the stationarity
-        test — configs.Steps.warmup)."""
+        test — configs.Steps.warmup).
+
+        The warmup step size SELF-TUNES every 10 trajectories (x1.2 when
+        acceptance > 0.75, /1.5 when < 0.5): thermalization measures
+        nothing, so eps is free, and a fixed eps can deadlock — from the
+        ordered (cold_start) configuration the leapfrog error is steep
+        and dH scales with V, so 8^4 at the production eps rejected
+        EVERYTHING (acc ~ e^-32) and the lattice never left plaq=1."""
         eps = self.cfg.dynamics.eps_hmc
         pexact = (
             float(lattice_u1.plaq_exact(beta))
@@ -531,6 +538,12 @@ class Trainer:
         for step in range(nsteps):
             key, k = jax.random.split(key)
             x, metrics = self.hmc_step(x, beta, k, eps)
+            if (step + 1) % 10 == 0:
+                a = float(jnp.mean(metrics["acc"]))
+                if a > 0.75:
+                    eps = min(eps * 1.2, 0.5)
+                elif a < 0.5:
+                    eps = max(eps / 1.5, 1e-5)
             if exact:
                 continue
             p = float(jnp.mean(metrics["plaqs"]))

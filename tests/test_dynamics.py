@@ -288,3 +288,31 @@ def test_nonfinite_dh_rejects_not_corrupts():
     out = np.asarray(mh.select(jnp.asarray([0.0, 1.0, 0.0]), prop, init))
     assert np.all(np.isfinite(out[0])) and np.all(np.isfinite(out[2]))
     assert np.all(np.isnan(out[1]))
+
+
+def test_cold_start_config():
+    """dynamics.cold_start=true starts from the ordered configuration:
+    zero phases (U1) / identity links (SU3) — plaquette exactly 1 — the
+    standard ordered-phase start (a hot start froze half the chains at
+    8^4 beta=5.7, acc identically 0 for 2000 draws)."""
+    from l2hmc_tpu.configs import get_config
+    from l2hmc_tpu.models.dynamics import Dynamics
+    from l2hmc_tpu.ops.lattice_su3 import LatticeSU3
+
+    cfg = get_config(["dynamics.cold_start=true", "dynamics.nchains=2",
+                      "dynamics.latvolume=[2, 2, 2, 2]",
+                      "network.units=[4]"], group="SU3")
+    dyn = Dynamics(cfg.dynamics, cfg.network, cfg.net_weights, cfg.conv,
+                   dtype=jnp.complex64)
+    x = dyn.random_x(jax.random.PRNGKey(0))
+    lat = LatticeSU3(2, [2, 2, 2, 2])
+    p = np.asarray(lat.plaqs(x))
+    np.testing.assert_allclose(p, 1.0, rtol=1e-6)
+
+    cfg_u1 = get_config(["dynamics.cold_start=true", "dynamics.nchains=2",
+                         "dynamics.latvolume=[4, 4]",
+                         "network.units=[4]"], group="U1")
+    dyn_u1 = Dynamics(cfg_u1.dynamics, cfg_u1.network, cfg_u1.net_weights,
+                      cfg_u1.conv)
+    xu = dyn_u1.random_x(jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(xu), 0.0)
