@@ -86,7 +86,7 @@ def fork_isolate_cache_writes(timeout_secs: int = 180) -> None:
             # serializes+writes then _exits, and a SIGALRM watchdog covers
             # the inherited-lock deadlock case the warning is about.
             warnings.filterwarnings(
-                "ignore", message=r".*os\.fork.*")
+                "ignore", message=r".*fork.*")
             pid = os.fork()
         if pid == 0:
             code = 0
@@ -149,7 +149,7 @@ def probe_entry(entry_path: str, probe, timeout_secs: int = 180) -> str:
     import warnings
     with warnings.catch_warnings():
         warnings.filterwarnings(
-            "ignore", message=r".*os\.fork.*")
+            "ignore", message=r".*fork.*")
         pid = os.fork()
     if pid == 0:
         code = 1
