@@ -204,6 +204,19 @@ class LossConfig(BaseConfig):
     rmse_weight: float = 0.0
     plaq_weight: float = 0.0
     aux_weight: float = 0.0
+    #: SU(3) only: when > 0, the charge loss is computed on the Wilson-
+    #: FLOWED clover charge — both the initial and proposed field are
+    #: flowed charge_flow_nsteps RK3 steps of size charge_flow_eps
+    #: (differentiably, remat'd) before the (Q2-Q1)^2 term. Rationale
+    #: (records/su3_8x8_b57_quality.md): the reference's unflowed sinQ
+    #: changes by ~2.6e-4/draw at SU(3) — UV noise, ~1000x weaker than
+    #: its U(1) signal — while the flowed sector charge moves ~0.126
+    #: integer units/draw underneath it. Flowing inside the loss gives
+    #: the optimizer the physical observable. No reference counterpart
+    #: (its SU(3) charge machinery is a TODO stub,
+    #: src/l2hmc/lattice/su3/pytorch/lattice.py:232-235).
+    charge_flow_nsteps: int = 0
+    charge_flow_eps: float = 0.1
 
 
 # ---------------------------------------------------------------------------

@@ -102,6 +102,38 @@ class LatticeLoss:
             return jnp.mean(mixed_loss(rloss + 1e-4, self.config.rmse_weight))
         return jnp.mean(-rloss / self.config.rmse_weight)
 
+    # -- flowed charge term (SU(3) only; no reference counterpart) ------
+    def _flowed_clover_charge(self, x: jax.Array) -> jax.Array:
+        """Wilson-flow x (charge_flow_nsteps x charge_flow_eps, RK3) and
+        return the clover topological charge, differentiably. The whole
+        flow is remat'd (jax.checkpoint): backward recomputes the flow
+        instead of storing nsteps intermediate lattices."""
+        from l2hmc_tpu.ops import su3_comp as comp
+        from l2hmc_tpu.ops import wilson_flow as wf
+        lat = tuple(x.shape[2:-2])
+        nb = x.shape[0]
+        eps = float(self.config.charge_flow_eps)
+        ns = int(self.config.charge_flow_nsteps)
+
+        def flow_q(y):
+            yf, _obs = wf.flow_complex_lattice(y, eps, ns, lat=lat)
+            return comp.topo_charge_clover(
+                comp.from_complex_lattice(yf), lat, nb)
+
+        return jax.checkpoint(flow_q)(x)
+
+    def _flowed_charge_loss(self, x_init, x_prop, acc):
+        # x_init carries no parameter dependence — cut its (recomputed)
+        # backward pass explicitly
+        q1 = jax.lax.stop_gradient(self._flowed_clover_charge(x_init))
+        q2 = self._flowed_clover_charge(x_prop)
+        qloss = acc * (q2 - q1) ** 2
+        qloss = _finite_or_zero(qloss)
+        if self.config.use_mixed_loss:
+            return jnp.mean(mixed_loss(qloss + 1e-4,
+                                       self.config.charge_weight))
+        return jnp.mean(-qloss / self.config.charge_weight)
+
     # -- total ----------------------------------------------------------
     def calc_loss(self, x_init, x_prop, acc) -> jax.Array:
         """Weighted sum of the active terms (loss.py:194-210)."""
@@ -111,7 +143,12 @@ class LatticeLoss:
         if self.config.plaq_weight > 0:
             total = total + self._plaq_loss(w1, w2, acc)
         if self.config.charge_weight > 0:
-            total = total + self._charge_loss(w1, w2, acc)
+            flow_ns = int(getattr(self.config, "charge_flow_nsteps", 0))
+            if flow_ns > 0 and not self.is_u1:
+                total = total + self._flowed_charge_loss(x_init, x_prop,
+                                                         acc)
+            else:
+                total = total + self._charge_loss(w1, w2, acc)
         if self.config.rmse_weight > 0:
             total = total + self._rmse_loss(x_init, x_prop, acc)
         return total

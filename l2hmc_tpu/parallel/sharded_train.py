@@ -145,6 +145,12 @@ class ShardedTrainerSU3:
                 "dropout under the 2-D mesh is not wired yet (needs "
                 "per-shard feature-aligned masks); set "
                 "network.dropout_prob=0")
+        if int(getattr(cfg.loss, "charge_flow_nsteps", 0) or 0) > 0:
+            raise ValueError(
+                "the flowed charge loss under the 2-D mesh is not wired "
+                "yet (the in-loss flow would need the halo-exchange flow "
+                "engine inside the grad graph); set "
+                "loss.charge_flow_nsteps=0 or use a 1-D data mesh")
         self.cfg = cfg
         self.mesh = mesh
         self.n_lat = mesh.shape["lattice"]
