@@ -38,11 +38,12 @@ i=0
 for group in "$G1" "$G2" "$G3"; do
     i=$((i + 1))
     echo "=== suite group $i/3 ==="
+    t0=$SECONDS
     # shellcheck disable=SC2086  # word-splitting the file list is the point
     python -m pytest $group -q "$@"
     grc=$?
+    echo "=== suite group $i/3 rc=$grc $((SECONDS - t0))s ==="
     if [ "$grc" != 0 ]; then
-        echo "=== suite group $i/3 FAILED (rc=$grc) ===" >&2
         rc=$grc
         break
     fi
