@@ -218,6 +218,16 @@ class LossConfig(BaseConfig):
     charge_flow_nsteps: int = 0
     charge_flow_eps: float = 0.1
 
+    def __post_init__(self):
+        if self.charge_flow_nsteps > 0 and self.charge_weight <= 0:
+            raise ValueError(
+                "loss.charge_flow_nsteps > 0 requests the flowed charge "
+                "loss, but loss.charge_weight is 0 so the charge term is "
+                "disabled entirely (the SU(3) preset ships qw=0 for "
+                "reference parity) — set loss.charge_weight > 0. This "
+                "silently no-opped an 8^4 training run once; hence the "
+                "hard error.")
+
 
 # ---------------------------------------------------------------------------
 # Learning rate (reference conf/learning_rate/default.yaml)
