@@ -544,9 +544,13 @@ class Dynamics:
         # turns s on, so exp(eps v) is only near-unitary; without this
         # the deviation compounds ~|s| per accepted trajectory (measured
         # 0.02/step at 4^4, saturating checkSU_max ~0.8 and killing
-        # acceptance). projectSU is an exact fixed point on unitary
-        # links, so m-masked (untouched) links are preserved exactly.
-        xf = comp.projectSU(xf)
+        # acceptance). reunit is an exact fixed point on unitary links,
+        # so m-masked (untouched) links are preserved exactly — and
+        # unlike projectSU its backward is finite at the (always
+        # near-degenerate) x†x ~ I this site lives at: projectSU here
+        # NaN'd the whole training gradient on production batches
+        # (su3_comp.reunit docstring).
+        xf = comp.reunit(xf)
         logdet = jnp.zeros((nb,), dtype=self.real_dtype)
         return xf, logdet, drift
 

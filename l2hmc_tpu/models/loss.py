@@ -77,12 +77,8 @@ class LatticeLoss:
         return jnp.mean(-ploss / self.config.plaq_weight)
 
     def _charge_loss(self, w1, w2, acc):
-        if self.is_u1:
-            q1 = self.lattice.sin_charges(wloops=w1)
-            q2 = self.lattice.sin_charges(wloops=w2)
-        else:
-            q1 = self.lattice.sin_charges(wloops=w1)
-            q2 = self.lattice.sin_charges(wloops=w2)
+        q1 = self.lattice.sin_charges(wloops=w1)
+        q2 = self.lattice.sin_charges(wloops=w2)
         qloss = acc * (q2 - q1) ** 2
         qloss = _finite_or_zero(qloss)
         if self.config.use_mixed_loss:

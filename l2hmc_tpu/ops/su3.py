@@ -141,12 +141,25 @@ def eigs3x3(tr: jax.Array, p2: jax.Array, det: jax.Array):
     tr3 = ONE_THIRD * tr
     p23 = ONE_THIRD * p2
     tr32 = tr3 * tr3
-    q = jnp.abs(0.5 * (p23 - tr32))
+    # floor q at eps^2 (dtype-scaled): at an exactly degenerate spectrum
+    # q == 0 and sqrt's backward is 1/0 — the resulting NaN gradient is
+    # what silently zeroed every SU(3) training run through round 4
+    # (see su3_comp.reunit). Below the floor the eigenvalue splitting is
+    # unresolvable at this precision anyway, so the forward change is
+    # below roundoff. The gradient path (reunit) avoids eigs entirely;
+    # this keeps projectSU itself NaN-free under grad as insurance.
+    # floor = eps^1.5, not eps^2: the backward forms 1/sq3^2 = q^-3,
+    # which must stay inside the dtype's range (eps^2 put q^-3 at ~3e41,
+    # past f32 max -> inf -> NaN)
+    eps_q = jnp.asarray(jnp.finfo(tr.dtype).eps, tr.dtype)
+    q = jnp.maximum(jnp.abs(0.5 * (p23 - tr32)), eps_q * jnp.sqrt(eps_q))
     r = 0.25 * tr3 * (5.0 * tr32 - p2) - 0.5 * det
     sq = jnp.sqrt(q)
     sq3 = q * sq
-    # guard the q -> 0 (degenerate eigenvalues) limit
-    isq3 = 1.0 / jnp.maximum(sq3, jnp.asarray(1e-300, sq3.dtype))
+    # guard the q -> 0 (degenerate eigenvalues) limit; the old guard
+    # constant 1e-300 underflows to 0.0 in f32 and guarded nothing
+    isq3 = 1.0 / jnp.maximum(sq3, jnp.asarray(jnp.finfo(sq3.dtype).tiny,
+                                              sq3.dtype))
     isq3 = jnp.clip(isq3, -3e38, 3e38)
     eps = jnp.finfo(tr.dtype).eps
     rsq3 = jnp.clip(r * isq3, -1.0 + eps, 1.0 - eps)

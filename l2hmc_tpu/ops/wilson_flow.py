@@ -75,7 +75,7 @@ def flow_step(x: comp.F3, eps, lat, nb: int, roll=None):
     """One RK3 Wilson-flow step; returns (x', plaquette-trace sum at x).
 
     The exponentials reuse the HMC drift budget (order-8 scaled-squared
-    Taylor expm — su3_comp.expm); a final projectSU keeps the
+    Taylor expm — su3_comp.expm); a final reunit keeps the
     integration drift-free over thousands of steps (same policy as the
     leapfrog x-update, models/dynamics.py _update_x_su3).
     """
@@ -97,7 +97,10 @@ def flow_step(x: comp.F3, eps, lat, nb: int, roll=None):
     c2 = comp.add(comp.add(comp.scale(z2, _C2A), comp.scale(z1, _C2B)),
                   comp.scale(z0, _C2C))
     out = comp.mm(comp.expm(c2, order=8, s=2), w2)
-    return comp.projectSU(out), tr0
+    # reunit, not projectSU: the flowed-charge loss differentiates
+    # through every flow step, and projectSU's backward is NaN at the
+    # near-unitary inputs this site always sees (su3_comp.reunit)
+    return comp.reunit(out), tr0
 
 
 def energy_density(tr_sum: jax.Array, volume: int) -> jax.Array:

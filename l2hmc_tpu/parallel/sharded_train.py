@@ -337,8 +337,9 @@ class ShardedTrainerSU3:
         # reunitarize, matching Dynamics._update_x_su3 (reference
         # compat_proj after every x sub-update, dynamics.py:1419): the
         # single-device parity tests require the two kernels drift-free
-        # and identical. projectSU is per-link => no cross-shard comms.
-        xf = comp.projectSU(xf)
+        # and identical. reunit is per-link => no cross-shard comms (and
+        # NaN-free backward at x†x ~ I — su3_comp.reunit docstring).
+        xf = comp.reunit(xf)
         return xf, drift
 
     def _force_traces(self, x, beta):
@@ -596,6 +597,11 @@ class ShardedTrainerSU3:
                 loss_of, has_aux=True)(params)
             grads = jax.tree_util.tree_map(
                 lambda a: jax.lax.psum(a, ("data", "lattice")), grads)
+            # visibility before the guard (see train/trainer.py: the
+            # guard silently zeroed all-NaN SU(3) grads for four rounds)
+            grad_nonfinite = sum(
+                jnp.sum(~jnp.isfinite(l))
+                for l in jax.tree_util.tree_leaves(grads))
             grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
             acc_mask = (acc > u).astype(self.rdt)
             x_out = mh.select(acc_mask, xp, x)
@@ -604,17 +610,17 @@ class ShardedTrainerSU3:
             metrics.update(self._metrics_of(x, x_out, beta))
             if ys is not None:
                 metrics.update(ys)
-            return loss, grads, x_out, metrics
+            return loss, grad_nonfinite, grads, x_out, metrics
 
         aux_args = (y, v_a) if aux_w > 0 else ()
         smapped = shard_map(
             shard_body, mesh=self.mesh,
             in_specs=(P(), P(), x_spec, x_spec, u_spec)
             + (x_spec, x_spec) * (aux_w > 0),
-            out_specs=(P(), P(), x_spec, self._metric_specs()),
+            out_specs=(P(), P(), P(), x_spec, self._metric_specs()),
         )
-        loss, grads, x_out, metrics = smapped(ts.params, ts.masks, x, v, u,
-                                              *aux_args)
+        loss, grad_nonfinite, grads, x_out, metrics = smapped(
+            ts.params, ts.masks, x, v, u, *aux_args)
         if self.cfg.dynamics.eps_fixed:
             grads = grads._replace(xeps=jnp.zeros_like(grads.xeps),
                                    veps=jnp.zeros_like(grads.veps))
@@ -625,6 +631,7 @@ class ShardedTrainerSU3:
         metrics["loss"] = loss
         metrics["beta"] = beta
         metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_nonfinite"] = grad_nonfinite
         # full gradient pytree for histogram logging (popped by the
         # train loop; see train/trainer.py)
         metrics["grads"] = grads

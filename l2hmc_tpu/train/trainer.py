@@ -247,7 +247,12 @@ class Trainer:
             )
         # NaN-grad guard (the reference needed loss.register_hook(
         # nan_to_num) for SU(3) training, experiment/pytorch/
-        # experiment.py:55); free under jit
+        # experiment.py:55); free under jit. Count the zeroed entries
+        # FIRST: this guard silently ate all-NaN gradients (projectSU
+        # backward at degenerate x†x) for four rounds — grad_nonfinite
+        # in the logs makes that failure mode impossible to miss again.
+        grad_nonfinite = sum(
+            jnp.sum(~jnp.isfinite(l)) for l in jax.tree_util.tree_leaves(grads))
         grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
         updates, opt_state = self.tx.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
@@ -269,6 +274,7 @@ class Trainer:
             "xeps": jax.nn.sigmoid(params.xeps),
             "veps": jax.nn.sigmoid(params.veps),
             "grad_norm": optax.global_norm(grads),
+            "grad_nonfinite": grad_nonfinite,
             # full gradient pytree for histogram logging (reference
             # trackers/pytorch/trackers.py:186-196); stays on device —
             # the train loop pops it and only pulls leaves to the host

@@ -175,3 +175,68 @@ def test_hmc_energy_conservation_dbw2():
     v = fc.random_momentum(jax.random.PRNGKey(12), n, jnp.float64)
     _, _, dh = fc.hmc_trajectory(x, v, 2.0, 0.002, 3, LAT, 2, c1=-1.4088)
     assert float(jnp.max(jnp.abs(dh))) < 1e-3
+
+
+def _unitary_f3(seed, n=64, dtype=jnp.float32):
+    """Exactly unitary (3, 3, n) F3 batch via numpy QR."""
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(n, 3, 3)) + 1j * rng.normal(size=(n, 3, 3))
+    q, _ = np.linalg.qr(a)
+    q = q / np.linalg.det(q)[:, None, None] ** (1.0 / 3.0)
+    q = q.transpose(1, 2, 0)
+    return fc.F3(jnp.asarray(q.real, dtype), jnp.asarray(q.imag, dtype))
+
+
+def test_reunit_matches_projectSU_near_unitary():
+    """reunit == projectSU (forward) through the whole drift-correction
+    regime, and the output is unitary to f32 roundoff."""
+    x = _unitary_f3(0)
+    for s in (0.0, 1e-6, 1e-3, 1e-2):
+        pr = s * jax.random.normal(jax.random.PRNGKey(1), x.re.shape,
+                                   jnp.float32)
+        pi = s * jax.random.normal(jax.random.PRNGKey(2), x.re.shape,
+                                   jnp.float32)
+        xf = fc.F3(x.re + pr, x.im + pi)
+        o1 = fc.reunit(xf)
+        o2 = fc.projectSU(xf)
+        close(o1.re, o2.re, atol=5e-6)
+        close(o1.im, o2.im, atol=5e-6)
+        t = fc.mm(o1, o1, adj_a=True)
+        dev = np.abs(np.asarray(t.re) - np.eye(3)[:, :, None]).max()
+        dev = max(dev, np.abs(np.asarray(t.im)).max())
+        assert dev < 2e-6, (s, dev)
+
+
+def test_reunit_grad_finite_at_exact_unitary():
+    """REGRESSION (the round-1..4 silent SU(3) no-op): the gradient of
+    the reunitarization at an exactly unitary input must be finite —
+    projectSU's eigendecomposition backward is NaN there, which poisoned
+    the whole training gradient on every production-size batch and was
+    then zeroed by the trainer's nan_to_num guard (grad_norm == 0.0 in
+    every committed SU(3) record through round 4)."""
+    x = _unitary_f3(3)
+
+    def f(re, im):
+        out = fc.reunit(fc.F3(re, im))
+        return jnp.sum(out.re ** 2 + out.im ** 2)
+
+    gr, gi = jax.grad(f, argnums=(0, 1))(x.re, x.im)
+    assert np.isfinite(np.asarray(gr)).all()
+    assert np.isfinite(np.asarray(gi)).all()
+    # ... and nonzero: a zero gradient here would be the same silent
+    # no-op with a different mechanism
+    assert float(jnp.abs(gr).sum() + jnp.abs(gi).sum()) > 0
+
+
+def test_projectSU_grad_finite_at_exact_unitary():
+    """The eigs3x3 q-floor keeps even the closed-form projectSU backward
+    NaN-free at a degenerate spectrum (insurance for non-reunit uses)."""
+    x = _unitary_f3(4)
+
+    def f(re, im):
+        out = fc.projectSU(fc.F3(re, im))
+        return jnp.sum(out.re ** 2 + out.im ** 2)
+
+    gr, gi = jax.grad(f, argnums=(0, 1))(x.re, x.im)
+    assert np.isfinite(np.asarray(gr)).all()
+    assert np.isfinite(np.asarray(gi)).all()

@@ -23,7 +23,13 @@ def test_su3_train_step_compiles_and_runs():
     assert np.isfinite(float(m["loss"]))
     acc = np.asarray(m["acc"])
     assert np.all((acc >= 0) & (acc <= 1))
+    # grad_norm must be finite AND nonzero with zero entries eaten by
+    # the nan_to_num guard: every SU(3) run through round 4 trained
+    # with grad_norm == 0.0 exactly (projectSU backward NaN at
+    # degenerate x†x, silently zeroed) — this is the regression gate
     assert np.isfinite(float(m["grad_norm"]))
+    assert float(m["grad_norm"]) > 0.0
+    assert int(m["grad_nonfinite"]) == 0
     # unitarity after a step
     from l2hmc_tpu.ops import su3 as g
     _, bmax = g.checkSU(np.asarray(x).reshape(x.shape[0], -1, 3, 3))
