@@ -129,6 +129,13 @@ def flow(x: comp.F3, eps: float, nsteps: int, lat, nb: int,
         roll = comp.make_roll(lat, nb)
     eps_a = jnp.asarray(eps, x.re.dtype)
 
+    # remat each step: differentiating the scan then stores ONLY the
+    # per-step carry (one lattice, ~9 MB at 8 chains x 8^4) and
+    # recomputes the step's internals (3 force evals + 3 expm's, ~80
+    # residual arrays) in the backward. Without this the flowed-charge
+    # loss OOMs a 16 GB chip at 8^4 x 12 steps (measured: 17.24 G of
+    # 15.75 G HBM, ~950 stacked 18 MB residual buffers).
+    @jax.checkpoint
     def body(carry, i):
         xc = carry
         x2, tr = flow_step(xc, eps_a, lat, nb, roll)

@@ -640,7 +640,8 @@ class Trainer:
                             f"era={era} epoch={epoch} "
                             + summarize_dict(
                                 {k_: avgs[k_] for k_ in
-                                 ("loss", "acc", "dQint", "dQsin", "plaqs")
+                                 ("loss", "acc", "dQint", "dQsin", "plaqs",
+                                  "grad_norm", "grad_nonfinite")
                                  if k_ in avgs})
                         )
                     # stuck-chain redraw (trainer.py:1594-1600)

@@ -17,6 +17,7 @@ import json
 import os
 import sys
 
+import jax
 import numpy as np
 
 
@@ -61,12 +62,41 @@ def main(outdir="records/_u1_flagship_run"):
                     "acceptance)",
     }
 
+    # literal reference protocol: the reference computes
+    # eps_hmc = 1/nleapfrog from the CONFIG nleapfrog (=4 -> eps 0.25,
+    # reference configs.py:484-486 "trajectory length of 1") but then
+    # doubles the HMC step count for merge_directions (reference
+    # trainers/pytorch/trainer.py:1018-1022), so its published HMC rows
+    # integrate trajectory length 2.0 — which is why they sit at
+    # acc 0.04-0.06 (reports/l2hmc-2dU1/README.md:1183-1186). Our
+    # eps_hmc default folds the doubling in (1/(2*nlf), trajectory
+    # length 1.0) and is therefore a STRICTLY STRONGER baseline than
+    # the reference ever compared against; this row measures the
+    # apples-to-apples ratio under the reference's own protocol.
+    nlf_cfg = int(ex.cfg.dynamics.nleapfrog)
+    ex.trainer.histories["hmc"] = History()
+    ex.trainer.timers["hmc"].data = []
+    ts, x = ex.setup()
+    ex.key, k = jax.random.split(ex.key)
+    ex.trainer.evaluate(ts, k, job_type="hmc", x=x,
+                        eps=1.0 / nlf_cfg, dynamic_step_size=False)
+    literal_imp = ex.measure_improvement()
+    literal = {
+        "improvement": literal_imp,
+        "hmc_stats": ex.sampler_stats("hmc"),
+        "protocol": "reference-literal: eps_hmc = 1/nleapfrog_config "
+                    f"= {1.0 / nlf_cfg} over 2*nleapfrog steps "
+                    "(trajectory length 2.0 — the protocol behind the "
+                    "reference's published acc~0.05 HMC rows)",
+    }
+
     out = {
         "eval_stats": summary["eval_stats"],
         "train": summary["train"],
         "eval": summary["eval"],
         "hmc_reference_protocol": ref_protocol,
         "hmc_tuned_baseline": tuned,
+        "hmc_reference_literal": literal,
         "config": {
             "nchains_train": 2048, "nchains_eval": 512,
             "latvolume": [16, 16], "nleapfrog": 4, "eps": 0.05,
@@ -77,7 +107,8 @@ def main(outdir="records/_u1_flagship_run"):
     with open(path, "w") as f:
         json.dump(out, f, indent=1, default=float)
     print(json.dumps({k: out[k] for k in
-                      ("hmc_reference_protocol", "hmc_tuned_baseline")},
+                      ("hmc_reference_protocol", "hmc_tuned_baseline",
+                       "hmc_reference_literal")},
                      indent=1, default=float))
     print("wrote", path)
 
