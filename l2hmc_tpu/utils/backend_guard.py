@@ -29,7 +29,15 @@ import time
 
 log = logging.getLogger(__name__)
 
-_PROBE = "import jax; print('NDEV', len(jax.devices()))"
+# The probe runs a TINY jit end-to-end, not just jax.devices(): a wedged
+# tunnel can present a second, subtler failure mode where device listing
+# still answers but the remote-compile service hangs (observed: a
+# 256x256 jit compile blocked >3 min at 0% host CPU while jax.devices()
+# returned instantly). Compile+execute+transfer is the full path a real
+# run needs; ~2 s extra on a healthy backend.
+_PROBE = ("import jax, jax.numpy as jnp; "
+          "v = jax.jit(lambda x: (x * x).sum())(jnp.arange(64.0)); "
+          "print('NDEV', len(jax.devices()), float(v))")
 
 
 def _probe(timeout_s: float) -> tuple[bool, str]:

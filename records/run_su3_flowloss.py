@@ -35,6 +35,8 @@ logging.basicConfig(
 def main(outdir="records/_su3_flowloss_run", nera="4", nepoch="150",
          warmup="1000", test="2000"):
     from l2hmc_tpu.experiment import build_experiment
+    from l2hmc_tpu.utils.backend_guard import ensure_backend
+    ensure_backend()  # fail fast on a wedged tunnel/compile service
 
     overrides = [
         # identical to the committed 8^4 record's command

@@ -23,7 +23,9 @@ import numpy as np
 
 def main(outdir="records/_u1_flagship_run"):
     from l2hmc_tpu.experiment import build_experiment
+    from l2hmc_tpu.utils.backend_guard import ensure_backend
     from l2hmc_tpu.utils.history import History
+    ensure_backend()  # fail fast on a wedged tunnel/compile service
 
     overrides = [
         # the published-report configuration (BASELINE config #1;

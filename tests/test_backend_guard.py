@@ -54,6 +54,9 @@ def test_probe_subprocess_real_cpu():
         ok, detail = bg._probe(120)
         assert ok, detail
         assert "NDEV" in detail
+        # the probe must exercise compile+execute, not just device
+        # listing: sum(i^2, i<64) = 85344 comes back through the jit
+        assert "85344" in detail
     finally:
         if env_backup is None:
             os.environ.pop("JAX_PLATFORMS", None)
